@@ -1,0 +1,169 @@
+"""Acoustic model: frame-wise CNN encoder + BiLSTM + linear head.
+
+Parity target `mri_acoustic_model.py:74-136` (OTNLikeCNNBiLSTM):
+  (B, T, 1, H, W) frames -> time-distributed EffNetV2-B2 features (GAP, 208-d)
+  -> 1-layer BiLSTM (hidden 640, sum merge) -> Dropout(0.5) -> Linear(n_mels).
+
+TPU design:
+* frames are flattened to (B*T, H, W, C) so the conv encoder runs as one big
+  batched conv stack on the MXU (the reference's reshape trick,
+  `mri_acoustic_model.py:105-114` — here it also maximises MXU occupancy);
+* ``use_checkpoint`` applies `jax.checkpoint` (rematerialisation) to the conv
+  encoder — the XLA analogue of the reference's time-chunked
+  `torch.utils.checkpoint` (`mri_acoustic_model.py:118-130`), trading FLOPs for
+  HBM without any chunking logic;
+* 1-channel inputs are broadcast to 3 channels like the reference
+  (`mri_acoustic_model.py:41-44`).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mri2speech_tpu.models.effnetv2 import (
+    EFFNETV2_B2_FEATURE_DIM,
+    EffNetV2Features,
+)
+from mri2speech_tpu.models.lstm import BiLSTMSumMerge
+
+Array = jax.Array
+
+
+def _torch_linear_init(fan_in: int):
+    bound = 1.0 / np.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class AcousticModel(nn.Module):
+    """OTN-like CNN-BiLSTM; input (B,T,1,H,W) or (B,T,H,W) -> (B,T,n_mels).
+
+    `cnn_spec`/`cnn_stem` default to the EffNetV2-B2 configuration; smaller
+    specs are injectable for tests and model-family variants.
+    """
+
+    n_mels: int = 64
+    rnn_hidden: int = 640
+    dropout: float = 0.5
+    use_checkpoint: bool = False
+    cnn_spec: Optional[tuple] = None
+    cnn_stem: Optional[int] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        if x.ndim == 4:
+            x = x[:, :, None, :, :]
+        if x.ndim != 5:
+            raise ValueError(f"Expected (B,T,1,H,W) or (B,T,H,W), got {x.shape}")
+        B, T = x.shape[0], x.shape[1]
+
+        # (B, T, C, H, W) -> (B*T, H, W, C) channels-last frames
+        frames = jnp.transpose(x.reshape(B * T, *x.shape[2:]), (0, 2, 3, 1))
+        if frames.shape[-1] == 1:
+            frames = jnp.broadcast_to(frames, frames.shape[:-1] + (3,))
+        if self.dtype is not None:
+            frames = frames.astype(self.dtype)
+
+        cnn_kwargs = {}
+        if self.cnn_spec is not None:
+            cnn_kwargs["spec"] = self.cnn_spec
+        if self.cnn_stem is not None:
+            cnn_kwargs["stem_channels"] = self.cnn_stem
+        cnn = EffNetV2Features(dtype=self.dtype, name="cnn", **cnn_kwargs)
+
+        def encode(f):
+            feat_map = cnn(f, train=train)          # (B*T, h, w, 208)
+            return jnp.mean(feat_map, axis=(1, 2))  # global average pool
+
+        if self.use_checkpoint and train:
+            encode = jax.checkpoint(encode)
+        feats = encode(frames).reshape(B, T, -1)    # (B, T, 208)
+
+        y = BiLSTMSumMerge(self.rnn_hidden, dtype=self.dtype, name="rnn")(feats)
+        y = nn.Dropout(self.dropout, deterministic=not train, name="dropout")(y)
+        out = nn.Dense(
+            self.n_mels,
+            kernel_init=_torch_linear_init(self.rnn_hidden),
+            bias_init=_torch_linear_init(self.rnn_hidden),
+            dtype=self.dtype,
+            name="head",
+        )(y)
+        return out.astype(jnp.float32)
+
+    def forward_with_features(self, x: Array, train: bool = False):
+        """Forward that also returns the pre-GAP CNN feature map.
+
+        Grad-CAM hook (`mri_gradcam_formant.py:128-166`): returns
+        (pred (B,T,n_mels), feats (B*T, h, w, C)). Use with `nn.apply` +
+        `jax.vjp` on the feature map — no retain_grad/train-mode juggling needed.
+        """
+        if x.ndim == 4:
+            x = x[:, :, None, :, :]
+        B, T = x.shape[0], x.shape[1]
+        frames = jnp.transpose(x.reshape(B * T, *x.shape[2:]), (0, 2, 3, 1))
+        if frames.shape[-1] == 1:
+            frames = jnp.broadcast_to(frames, frames.shape[:-1] + (3,))
+        if self.dtype is not None:
+            frames = frames.astype(self.dtype)
+
+        cnn_kwargs = {}
+        if self.cnn_spec is not None:
+            cnn_kwargs["spec"] = self.cnn_spec
+        if self.cnn_stem is not None:
+            cnn_kwargs["stem_channels"] = self.cnn_stem
+        feats = EffNetV2Features(dtype=self.dtype, name="cnn", **cnn_kwargs)(frames, train=train)
+
+        def head_from_feats(feat_map):
+            pooled = jnp.mean(feat_map, axis=(1, 2)).reshape(B, T, -1)
+            y = BiLSTMSumMerge(self.rnn_hidden, dtype=self.dtype, name="rnn")(pooled)
+            y = nn.Dropout(self.dropout, deterministic=not train, name="dropout")(y)
+            return nn.Dense(
+                self.n_mels,
+                kernel_init=_torch_linear_init(self.rnn_hidden),
+                bias_init=_torch_linear_init(self.rnn_hidden),
+                dtype=self.dtype,
+                name="head",
+            )(y).astype(jnp.float32)
+
+        return head_from_feats(feats), feats
+
+
+def build_acoustic_model(
+    n_mels: int = 64,
+    cnn_pretrained: bool = False,
+    rnn_hidden: int = 640,
+    dropout: float = 0.5,
+    use_checkpoint: bool = False,
+    dtype: Optional[jnp.dtype] = None,
+    **_compat,
+) -> AcousticModel:
+    """Factory mirroring `build_acoustic_model` (`mri_acoustic_model.py:139-156`).
+
+    `cnn_pretrained=True` requires converting timm weights offline with
+    `tools/convert_torch_checkpoint.py` (no network access at runtime); the
+    flag itself only documents intent here, matching the reference default of
+    training from scratch.
+    """
+    if cnn_pretrained:
+        import warnings
+
+        warnings.warn(
+            "cnn_pretrained=True: load converted timm weights explicitly via "
+            "tools/convert_torch_checkpoint.py; the model itself initialises "
+            "from scratch."
+        )
+    return AcousticModel(
+        n_mels=n_mels,
+        rnn_hidden=rnn_hidden,
+        dropout=dropout,
+        use_checkpoint=use_checkpoint,
+        dtype=dtype,
+    )

@@ -1,0 +1,106 @@
+"""Bidirectional LSTM via `jax.lax.scan` with MXU-batched gate matmuls.
+
+TPU-first design for the reference's cuDNN BiLSTM (`mri_acoustic_model.py:50-72`):
+
+* The input projection ``x @ W_ih^T`` for ALL timesteps is hoisted out of the
+  recurrence into one large (B*T, C) x (C, 4H) matmul that saturates the MXU.
+* The scan body only computes the recurrent (B, H) x (H, 4H) matmul + pointwise
+  gate math — the irreducible sequential part.
+* Gate order (i, f, g, o) and the double bias (b_ih + b_hh folded into one)
+  match torch.nn.LSTM, so weights are directly portable (validated by a parity
+  test against torch).
+* Forward and backward directions are merged by **summation**, not concat —
+  the reference's "sum merge" quirk (`mri_acoustic_model.py:67-72`).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def _torch_lstm_init(hidden: int):
+    bound = 1.0 / np.sqrt(hidden)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def lstm_direction(
+    x_seq: Array,
+    w_ih: Array,
+    w_hh: Array,
+    bias: Array,
+    *,
+    reverse: bool = False,
+    unroll: int = 8,
+) -> Array:
+    """Run one LSTM direction over (B, T, C) -> (B, T, H).
+
+    w_ih: (C, 4H), w_hh: (H, 4H), bias: (4H,) — gates ordered (i, f, g, o).
+    """
+    B, T, _ = x_seq.shape
+    H = w_hh.shape[0]
+    compute_dtype = x_seq.dtype
+
+    # Hoisted input projection: one big MXU matmul for all timesteps.
+    xg = jnp.einsum("btc,cg->btg", x_seq, w_ih.astype(compute_dtype)) + bias.astype(
+        compute_dtype
+    )
+    xg = jnp.swapaxes(xg, 0, 1)  # (T, B, 4H) scan-major
+
+    w_hh_c = w_hh.astype(compute_dtype)
+
+    def step(carry, xg_t):
+        h, c = carry
+        gates = xg_t + h @ w_hh_c
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    init = (
+        jnp.zeros((B, H), compute_dtype),
+        jnp.zeros((B, H), compute_dtype),
+    )
+    _, ys = jax.lax.scan(step, init, xg, reverse=reverse, unroll=unroll)
+    return jnp.swapaxes(ys, 0, 1)  # (B, T, H)
+
+
+class BiLSTMSumMerge(nn.Module):
+    """1-layer BiLSTM, forward+backward outputs SUMMED (`mri_acoustic_model.py:50-72`)."""
+
+    hidden_size: int = 640
+    unroll: int = 8
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        C = x.shape[-1]
+        H = self.hidden_size
+        init = _torch_lstm_init(H)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+
+        outs = []
+        for direction, reverse in (("fwd", False), ("bwd", True)):
+            w_ih = self.param(f"w_ih_{direction}", init, (C, 4 * H))
+            w_hh = self.param(f"w_hh_{direction}", init, (H, 4 * H))
+            # torch keeps separate b_ih and b_hh; they only ever appear summed,
+            # so a single fused bias is stored (converter adds them).
+            b = self.param(f"b_{direction}", init, (4 * H,))
+            outs.append(
+                lstm_direction(x, w_ih, w_hh, b, reverse=reverse, unroll=self.unroll)
+            )
+        return outs[0] + outs[1]

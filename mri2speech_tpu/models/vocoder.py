@@ -1,0 +1,292 @@
+"""HiFi-GAN vocoder family (generator + MPD + MSD), TPU-native.
+
+Reproduces the *fork's* exact length semantics (reference `models.py`,
+`utils.py:34-35`) — which deviate from upstream jik876/hifi-gan — but expresses
+them the efficient way:
+
+* The fork pads every ResBlock conv with ``get_padding(k,d)=k*d-d`` on both sides
+  and then trims the tail back to the input length (`models.py:38-48`). That is
+  mathematically identical to a **causal conv with left padding d*(k-1)** — which
+  is what we compute, saving the wasted tail work.
+* ``conv_pre``/``conv_post`` are preceded by ``F.pad(x,(0,6))`` with VALID kernels
+  of size 7 (`models.py:114,127`) — i.e. right-padded "anticausal" convs.
+* Net result: output length is exactly ``T * prod(upsample_rates) = T * 420``
+  (one mel frame -> one hop of audio), same as the reference.
+
+Layout is channels-last internally; the public API accepts the reference's
+``(B, n_mels, T)`` mel layout.
+
+Note (fork quirk, `models.py:126`): the activation before conv_post is
+leaky_relu with torch's DEFAULT slope 0.01, not LRELU_SLOPE=0.1.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mri2speech_tpu.models.layers import (
+    Conv1d,
+    Conv2d,
+    ConvTranspose1d,
+    avg_pool1d_torch,
+    leaky_relu,
+    normal_init,
+    reflect_pad_time,
+)
+
+Array = jax.Array
+
+LRELU_SLOPE = 0.1
+
+
+class ResBlock1(nn.Module):
+    """MRF residual block, kernel k, dilations (1,3,5) (`models.py:11-55`).
+
+    Each of the 3 units: leaky -> causal dilated conv -> leaky -> causal conv(d=1)
+    -> residual add. All convs weight-normed, init N(0, 0.01).
+    """
+
+    channels: int
+    kernel_size: int = 3
+    dilation: Tuple[int, ...] = (1, 3, 5)
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        k = self.kernel_size
+        for i, d in enumerate(self.dilation):
+            xt = leaky_relu(x, LRELU_SLOPE)
+            xt = Conv1d(
+                self.channels, k, dilation=d, padding=(d * (k - 1), 0),
+                weight_norm=True, kernel_init=normal_init(0.01),
+                dtype=self.dtype, name=f"convs1_{i}",
+            )(xt)
+            xt = leaky_relu(xt, LRELU_SLOPE)
+            xt = Conv1d(
+                self.channels, k, dilation=1, padding=(k - 1, 0),
+                weight_norm=True, kernel_init=normal_init(0.01),
+                dtype=self.dtype, name=f"convs2_{i}",
+            )(xt)
+            x = x + xt
+        return x
+
+
+class ResBlock2(nn.Module):
+    """Lighter MRF block, dilations (1,3) (`models.py:58-85`)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilation: Tuple[int, ...] = (1, 3)
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        k = self.kernel_size
+        for i, d in enumerate(self.dilation):
+            xt = leaky_relu(x, LRELU_SLOPE)
+            xt = Conv1d(
+                self.channels, k, dilation=d, padding=(d * (k - 1), 0),
+                weight_norm=True, kernel_init=normal_init(0.01),
+                dtype=self.dtype, name=f"convs_{i}",
+            )(xt)
+            x = x + xt
+        return x
+
+
+class Generator(nn.Module):
+    """HiFi-GAN generator (`models.py:88-140`): mel (B, n_mels, T) -> wav (B, 1, 420*T).
+
+    conv_pre (plain, right-pad 6) -> 4x [leaky -> WN ConvTranspose (rates
+    10,7,3,2) -> mean of 3 MRF ResBlocks] -> leaky(0.01) -> conv_post (WN,
+    right-pad 6) -> tanh.
+    """
+
+    h: dict  # AttrDict-compatible config (config_custom.json schema)
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = self.h
+        num_kernels = len(h["resblock_kernel_sizes"])
+        resblock_cls = ResBlock1 if str(h["resblock"]) == "1" else ResBlock2
+
+        x = jnp.swapaxes(x, 1, 2)  # (B, T, n_mels) channels-last
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+
+        # conv_pre: F.pad(x,(0,6)) + Conv1d(k=7, pad=0), NO weight norm, torch
+        # default init (`models.py:94,114`).
+        x = Conv1d(
+            h["upsample_initial_channel"], 7, padding=(0, 6),
+            dtype=self.dtype, name="conv_pre",
+        )(x)
+
+        for i, (u, k) in enumerate(zip(h["upsample_rates"], h["upsample_kernel_sizes"])):
+            x = leaky_relu(x, LRELU_SLOPE)
+            ch = h["upsample_initial_channel"] // (2 ** (i + 1))
+            x = ConvTranspose1d(
+                ch, k, stride=u, padding=(k - u) // 2,
+                weight_norm=True, kernel_init=normal_init(0.01),
+                dtype=self.dtype, name=f"ups_{i}",
+            )(x)
+            xs = None
+            for j, (rk, rd) in enumerate(
+                zip(h["resblock_kernel_sizes"], h["resblock_dilation_sizes"])
+            ):
+                r = resblock_cls(
+                    ch, rk, tuple(rd), dtype=self.dtype,
+                    name=f"resblocks_{i * num_kernels + j}",
+                )(x)
+                xs = r if xs is None else xs + r
+            x = xs / num_kernels
+
+        x = leaky_relu(x, 0.01)  # fork quirk: default slope here (`models.py:126`)
+        x = Conv1d(
+            1, 7, padding=(0, 6), weight_norm=True,
+            kernel_init=normal_init(0.01), dtype=self.dtype, name="conv_post",
+        )(x)
+        x = jnp.tanh(x.astype(jnp.float32))
+        return jnp.swapaxes(x, 1, 2)  # (B, 1, T*420)
+
+
+class DiscriminatorP(nn.Module):
+    """Period discriminator (`models.py:143-176`).
+
+    Input (B, 1, T) audio; reflect-pad T to a multiple of `period`, fold into
+    (B, T/p, p) 2D map, stack of (5,1)-kernel stride-(3,1) WN Conv2d with
+    pad (4, 0) (the fork's get_padding(5,1)=4).
+    """
+
+    period: int
+    use_spectral_norm: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Tuple[Array, List[Array]]:
+        fmap: List[Array] = []
+        b, c, t = x.shape
+        if t % self.period != 0:
+            n_pad = self.period - (t % self.period)
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, n_pad)), mode="reflect")
+            t = t + n_pad
+        # (B, 1, T) -> (B, T/p, p, 1) channels-last image
+        x = x.reshape(b, c, t // self.period, self.period)
+        x = jnp.transpose(x, (0, 2, 3, 1))
+
+        norm = dict(spectral_norm=True) if self.use_spectral_norm else dict(weight_norm=True)
+        channels = [32, 128, 512, 1024]
+        for i, ch in enumerate(channels):
+            x = Conv2d(
+                ch, (5, 1), strides=(3, 1), padding=(4, 0),
+                dtype=self.dtype, name=f"convs_{i}", **norm,
+            )(x)
+            x = leaky_relu(x, LRELU_SLOPE)
+            fmap.append(x)
+        x = Conv2d(
+            1024, (5, 1), strides=(1, 1), padding=(2, 0),
+            dtype=self.dtype, name="convs_4", **norm,
+        )(x)
+        x = leaky_relu(x, LRELU_SLOPE)
+        fmap.append(x)
+        x = Conv2d(
+            1, (3, 1), strides=(1, 1), padding=(1, 0),
+            dtype=self.dtype, name="conv_post", **norm,
+        )(x)
+        fmap.append(x)
+        return x.reshape(b, -1), fmap
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    """5 period discriminators, periods (2,3,5,7,11) (`models.py:179-207`)."""
+
+    periods: Sequence[int] = (2, 3, 5, 7, 11)
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, y: Array, y_hat: Array):
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        min_len = min(y.shape[-1], y_hat.shape[-1])
+        y = y[..., :min_len]
+        y_hat = y_hat[..., :min_len]
+        for i, p in enumerate(self.periods):
+            d = DiscriminatorP(p, dtype=self.dtype, name=f"discriminators_{i}")
+            r, fr = d(y)
+            g, fg = d(y_hat)
+            y_d_rs.append(r)
+            fmap_rs.append(fr)
+            y_d_gs.append(g)
+            fmap_gs.append(fg)
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs
+
+
+class DiscriminatorS(nn.Module):
+    """Scale discriminator: grouped 1D convs, kernel 41 (`models.py:210-235`)."""
+
+    use_spectral_norm: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Tuple[Array, List[Array]]:
+        # x: (B, 1, T) -> channels-last
+        b = x.shape[0]
+        x = jnp.swapaxes(x, 1, 2)
+        norm = dict(spectral_norm=True) if self.use_spectral_norm else dict(weight_norm=True)
+        spec = [
+            # (features, kernel, stride, groups, padding)
+            (128, 15, 1, 1, 7),
+            (128, 41, 2, 4, 20),
+            (256, 41, 2, 16, 20),
+            (512, 41, 4, 16, 20),
+            (1024, 41, 4, 16, 20),
+            (1024, 41, 1, 16, 20),
+            (1024, 5, 1, 1, 2),
+        ]
+        fmap: List[Array] = []
+        for i, (f, k, s, g, p) in enumerate(spec):
+            x = Conv1d(
+                f, k, stride=s, groups=g, padding=p,
+                dtype=self.dtype, name=f"convs_{i}", **norm,
+            )(x)
+            x = leaky_relu(x, LRELU_SLOPE)
+            fmap.append(x)
+        x = Conv1d(1, 3, padding=1, dtype=self.dtype, name="conv_post", **norm)(x)
+        fmap.append(x)
+        return x.reshape(b, -1), fmap
+
+
+class MultiScaleDiscriminator(nn.Module):
+    """3 scale discriminators on x1/x2/x4 avg-pooled audio (`models.py:238-271`).
+
+    First sub-discriminator uses spectral norm, the rest weight norm.
+    """
+
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, y: Array, y_hat: Array):
+        y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        for i in range(3):
+            if i != 0:
+                # AvgPool1d(4, 2, padding=2) on (B, 1, T)
+                y = jnp.swapaxes(
+                    avg_pool1d_torch(jnp.swapaxes(y, 1, 2), 4, 2, 2), 1, 2
+                )
+                y_hat = jnp.swapaxes(
+                    avg_pool1d_torch(jnp.swapaxes(y_hat, 1, 2), 4, 2, 2), 1, 2
+                )
+            min_len = min(y.shape[-1], y_hat.shape[-1])
+            y = y[..., :min_len]
+            y_hat = y_hat[..., :min_len]
+            d = DiscriminatorS(
+                use_spectral_norm=(i == 0), dtype=self.dtype, name=f"discriminators_{i}"
+            )
+            r, fr = d(y)
+            g, fg = d(y_hat)
+            y_d_rs.append(r)
+            fmap_rs.append(fr)
+            y_d_gs.append(g)
+            fmap_gs.append(fg)
+        return y_d_rs, y_d_gs, fmap_rs, fmap_gs
