@@ -1,0 +1,124 @@
+"""Acoustic-model training CLI.
+
+Parity target `train_mri_acoustic_model.py:544-623` (argument surface and
+behavior). Differences (all documented):
+* `--num_workers`/`--prefetch_factor` map to the loader's prefetch depth (no
+  worker processes needed — batches are gathered from mmaps on a thread while
+  the device steps)
+* `--ckpt_segments`/`--use_reentrant` are accepted for CLI compatibility but
+  remat needs no segmenting under XLA (`--use_checkpoint` alone enables it)
+* `--bf16` enables bfloat16 compute (no GradScaler machinery — TPU bf16 needs
+  none)
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax.numpy as jnp
+
+from mri2speech_tpu.data.dataset import BatchLoader, FixedLenPairDataset, split_indices
+from mri2speech_tpu.models.acoustic import AcousticModel
+from mri2speech_tpu.train.acoustic import AcousticTrainer, AcousticTrainerConfig
+
+
+def make_loaders(
+    processed_dir: str,
+    ref_frames: int,
+    batch_size: int = 8,
+    val_bs: int = 8,
+    prefetch: int = 2,
+    seed: int = 42,
+):
+    """80/10/10 split loaders (`train_mri_acoustic_model.py:173-206`)."""
+    ds = FixedLenPairDataset(processed_dir, ref_frames=ref_frames)
+    tr, va, te = split_indices(len(ds), seed=seed)
+    train_loader = BatchLoader(ds, tr, batch_size, shuffle=True, drop_last=True, prefetch=prefetch)
+    val_loader = BatchLoader(ds, va, val_bs, shuffle=False, drop_last=False, prefetch=prefetch)
+    test_loader = BatchLoader(ds, te, val_bs, shuffle=False, drop_last=False, prefetch=prefetch)
+    return train_loader, val_loader, test_loader
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--processed_dir", type=str, required=True)
+    ap.add_argument("--out_ckpt", type=str, default="best_mri_acoustic_model.ckpt")
+    ap.add_argument("--resume_ckpt", type=str, default=None)
+    ap.add_argument("--log_dir", type=str, default=None)
+    ap.add_argument("--ref_frames", type=int, default=4)
+    ap.add_argument("--epochs", type=int, default=80)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--val_batch_size", type=int, default=8)
+    ap.add_argument("--micro_batch_size", type=int, default=2)
+    ap.add_argument("--num_workers", type=int, default=0)
+    ap.add_argument("--prefetch_factor", type=int, default=4)
+    ap.add_argument("--max_train_steps", type=int, default=None)
+    ap.add_argument("--max_val_steps", type=int, default=None)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--weight_decay", type=float, default=1e-4)
+    ap.add_argument("--grad_clip", type=float, default=1.0)
+    ap.add_argument("--cnn_pretrained", action="store_true")
+    ap.add_argument("--use_checkpoint", action="store_true",
+                    help="Enable gradient rematerialisation of the CNN encoder.")
+    ap.add_argument("--ckpt_segments", type=int, default=2,
+                    help="Accepted for reference-CLI compat; remat needs no segmenting.")
+    ap.add_argument("--use_reentrant", action="store_true",
+                    help="Accepted for reference-CLI compat; no-op under XLA remat.")
+    ap.add_argument("--bf16", action="store_true", help="bfloat16 compute.")
+    args = ap.parse_args()
+
+    if not os.path.isdir(args.processed_dir):
+        raise FileNotFoundError(f"{args.processed_dir} not found. Run preprocess first.")
+
+    train_loader, val_loader, _ = make_loaders(
+        args.processed_dir, args.ref_frames,
+        batch_size=args.batch_size, val_bs=args.val_batch_size,
+        prefetch=max(1, args.prefetch_factor // 2),
+    )
+    print(f"[DATALOADER] batches/epoch={len(train_loader)} prefetch={args.prefetch_factor}")
+
+    model = AcousticModel(
+        n_mels=64,
+        rnn_hidden=640,
+        dropout=0.5,
+        use_checkpoint=args.use_checkpoint,
+        dtype=jnp.bfloat16 if args.bf16 else None,
+    )
+    if args.cnn_pretrained:
+        print(
+            "[WARN] --cnn_pretrained: convert timm weights offline with "
+            "tools/convert_torch_checkpoint.py and pass them via --resume_ckpt."
+        )
+
+    trainer = AcousticTrainer(
+        model,
+        AcousticTrainerConfig(
+            lr=args.lr,
+            weight_decay=args.weight_decay,
+            grad_clip=args.grad_clip,
+            micro_batch_size=args.micro_batch_size,
+            max_train_steps=args.max_train_steps,
+            max_val_steps=args.max_val_steps,
+        ),
+        log_dir=os.path.abspath(args.log_dir) if args.log_dir else None,
+    )
+
+    sample = next(iter(val_loader))
+    state = trainer.init_state(sample)
+
+    if args.resume_ckpt:
+        resume_path = os.path.abspath(args.resume_ckpt)
+        if not os.path.isfile(resume_path):
+            raise FileNotFoundError(f"Resume checkpoint {resume_path} not found.")
+        state, _ = trainer.resume_from_checkpoint(resume_path, state)
+        if args.out_ckpt == "best_mri_acoustic_model.ckpt":
+            args.out_ckpt = resume_path
+
+    trainer.fit(state, train_loader, val_loader, epochs=args.epochs, save_path=args.out_ckpt)
+    if trainer.writer:
+        trainer.writer.close()
+    print("[DONE] Done. Saved:", args.out_ckpt)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,164 @@
+"""HiFi-GAN vocoder training CLI.
+
+Parity target `train.py:265-309` (argument surface) and the epoch/step loop
+(`train.py:131-262`): stdout/summary/checkpoint/validation intervals, TB
+scalars + audio + spectrogram figures, per-epoch plateau scheduler on the last
+validation mel error, fine-tuning GT/predicted mel mixing.
+
+Fixes over the reference (documented):
+* `--fine_tuning` is a real boolean flag (the reference's `type=bool` makes any
+  non-empty string truthy, `train.py:282`)
+* one host program drives the mesh — no `mp.spawn`, no per-rank scheduler drift
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+
+from mri2speech_tpu.config import AttrDict, build_env
+from mri2speech_tpu.data.meldata import MelDataset, get_dataset_filelist
+from mri2speech_tpu.train.vocoder import VocoderTrainer, VocoderTrainerConfig
+from mri2speech_tpu.utils.plotting import plot_spectrogram
+
+
+def run_training(a: argparse.Namespace, h: AttrDict) -> None:
+    from tensorboardX import SummaryWriter
+
+    trainer = VocoderTrainer(h, VocoderTrainerConfig(fine_tuning=a.fine_tuning))
+    state = trainer.init_state(jax.random.PRNGKey(h.seed))
+
+    os.makedirs(a.checkpoint_path, exist_ok=True)
+    print("checkpoints directory :", a.checkpoint_path)
+    state, steps, last_epoch = trainer.resume(a.checkpoint_path, state)
+    if steps:
+        print(f"[RESUME] restored checkpoint at step {steps - 1}, epoch {last_epoch}")
+
+    training_filelist, validation_filelist = get_dataset_filelist(a)
+
+    train_mel_dirs = train_mel_weights = None
+    valid_mel_dirs = valid_mel_weights = None
+    if a.fine_tuning:
+        base_dir = a.input_mels_dir
+        train_mel_dirs, train_mel_weights = [base_dir], [1.0]
+        mix_prob = max(0.0, min(1.0, float(a.extra_mels_weight)))
+        if a.extra_mels_dir and mix_prob > 0.0:
+            train_mel_dirs = [base_dir, a.extra_mels_dir]
+            train_mel_weights = [max(1.0 - mix_prob, 0.0), mix_prob]
+        valid_mel_dirs, valid_mel_weights = [base_dir], [1.0]
+
+    trainset = MelDataset(
+        training_filelist, h.segment_size, h.n_fft, h.num_mels, h.hop_size,
+        h.win_size, h.sampling_rate, h.fmin, h.fmax, shuffle=True,
+        fmax_loss=h.fmax_for_loss, fine_tuning=a.fine_tuning,
+        base_mels_path=a.input_mels_dir, mel_dirs=train_mel_dirs,
+        mel_weights=train_mel_weights, seed=h.seed,
+    )
+    validset = MelDataset(
+        validation_filelist, h.segment_size, h.n_fft, h.num_mels, h.hop_size,
+        h.win_size, h.sampling_rate, h.fmin, h.fmax, split=False, shuffle=False,
+        fmax_loss=h.fmax_for_loss, fine_tuning=a.fine_tuning,
+        base_mels_path=a.input_mels_dir, mel_dirs=valid_mel_dirs,
+        mel_weights=valid_mel_weights, seed=h.seed,
+    )
+
+    sw = SummaryWriter(os.path.join(a.checkpoint_path, "logs"))
+    batch_rng = np.random.default_rng(h.seed)
+    n = len(trainset)
+    batches_per_epoch = max(1, n // h.batch_size)
+    last_val_err = 0.0
+
+    for epoch in range(max(0, last_epoch), a.training_epochs):
+        start = time.time()
+        print("Epoch: {}".format(epoch + 1))
+        perm = batch_rng.permutation(n)
+
+        for i in range(batches_per_epoch):
+            start_b = time.time()
+            idx = perm[i * h.batch_size : (i + 1) * h.batch_size]
+            if len(idx) < h.batch_size:
+                break
+            batch = trainset.gather_batch(idx)
+            state, metrics = trainer.train_step(state, batch)
+
+            if steps % a.stdout_interval == 0:
+                print(
+                    "Steps : {:d}, Gen Loss Total : {:4.3f}, Mel-Spec. Error : {:4.3f}, s/b : {:4.3f}".format(
+                        steps, float(metrics["loss_gen_all"]),
+                        float(metrics["mel_error"]), time.time() - start_b,
+                    )
+                )
+            if steps % a.checkpoint_interval == 0 and steps != 0:
+                trainer.save(a.checkpoint_path, state, steps, epoch)
+            if steps % a.summary_interval == 0:
+                sw.add_scalar("training/gen_loss_total", float(metrics["loss_gen_all"]), steps)
+                sw.add_scalar("training/disc_loss_total", float(metrics["loss_disc_all"]), steps)
+                sw.add_scalar("training/mel_spec_error", float(metrics["mel_error"]), steps)
+
+            if steps % a.validation_interval == 0:
+                val_err_tot = 0.0
+                count = 0
+                for j in range(len(validset)):
+                    item = validset[j]
+                    err, y_hat = trainer.validation_mel_error(
+                        state, item["audio"], item.get("mel")
+                    )
+                    val_err_tot += err
+                    count += 1
+                    if j <= 4:
+                        if steps == 0:
+                            sw.add_audio(
+                                f"gt/y_{j}", item["audio"][None, :], steps, h.sampling_rate
+                            )
+                        sw.add_audio(
+                            f"generated/y_hat_{j}", y_hat[None, :], steps, h.sampling_rate
+                        )
+                        mel_fig = np.asarray(
+                            trainer._infer_mel(np.asarray(y_hat[None, :]))
+                        )[0]
+                        sw.add_figure(
+                            f"generated/y_hat_spec_{j}", plot_spectrogram(mel_fig), steps
+                        )
+                if count:
+                    last_val_err = val_err_tot / count
+                    sw.add_scalar("validation/mel_spec_error", last_val_err, steps)
+            steps += 1
+
+        trainer.sched_g.step(last_val_err)
+        trainer.sched_d.step(last_val_err)
+        print("Time taken for epoch {} is {} sec\n".format(epoch + 1, int(time.time() - start)))
+
+
+def main() -> None:
+    print("Initializing Training Process..")
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--group_name", default=None)
+    parser.add_argument("--input_wavs_dir", default="LJSpeech-1.1/wavs")
+    parser.add_argument("--input_mels_dir", default="ft_dataset")
+    parser.add_argument("--input_training_file", default="LJSpeech-1.1/training.txt")
+    parser.add_argument("--input_validation_file", default="LJSpeech-1.1/validation.txt")
+    parser.add_argument("--checkpoint_path", default="cp_hifigan")
+    parser.add_argument("--config", default="")
+    parser.add_argument("--training_epochs", default=3100, type=int)
+    parser.add_argument("--stdout_interval", default=5, type=int)
+    parser.add_argument("--checkpoint_interval", default=5000, type=int)
+    parser.add_argument("--summary_interval", default=100, type=int)
+    parser.add_argument("--validation_interval", default=1000, type=int)
+    parser.add_argument("--fine_tuning", action="store_true")
+    parser.add_argument("--extra_mels_dir", default=None)
+    parser.add_argument("--extra_mels_weight", default=0.0, type=float)
+    a = parser.parse_args()
+
+    with open(a.config) as f:
+        h = AttrDict(json.loads(f.read()))
+    build_env(a.config, "config.json", a.checkpoint_path)
+    run_training(a, h)
+
+
+if __name__ == "__main__":
+    main()

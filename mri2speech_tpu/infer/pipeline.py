@@ -1,0 +1,209 @@
+"""End-to-end rtMRI video -> speech inference (the RTF benchmark target).
+
+Parity target `scripts/run_mri_video_inference.py:203-255`:
+  video frames (per-frame z-score->minmax) -> acoustic model -> denormalise via
+  scaler.json -> dB->ln-power bridge -> HiFi-GAN generator -> waveform + mel
+  artifacts (wav, mel.npy, mel.png, mel_log.npy).
+
+TPU design — ONE fused jitted program:
+  acoustic CNN+BiLSTM + scaler denorm + domain bridge + generator all execute
+  in a single XLA computation, so intermediate mels never round-trip to host.
+  Frame counts are padded up to `frame_bucket` multiples: O(1) compiled
+  programs across video lengths. The BiLSTM is mask-exact under padding (see
+  `models/lstm.py`); only the generator's ~10-frame lookahead can perturb the
+  final ~0.15 s of audio relative to unpadded execution (documented; pass
+  frame_bucket=1 for exact per-length compilation).
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mri2speech_tpu.data.audio_io import load_video_frames_for_inference, write_wav_float
+from mri2speech_tpu.models.acoustic import AcousticModel
+from mri2speech_tpu.ops.mel import mel_db_to_log_power
+from mri2speech_tpu.ops.scaler import MelScaler
+
+
+class VideoToSpeechPipeline:
+    """Fused acoustic+vocoder inference over padded frame buckets."""
+
+    def __init__(
+        self,
+        acoustic_model: AcousticModel,
+        acoustic_variables: dict,
+        generator,                # Generator module (usually weight-norm folded)
+        generator_params: dict,
+        scaler: MelScaler,
+        *,
+        hop_total: int = 420,
+        frame_bucket: int = 64,
+    ) -> None:
+        self.acoustic_model = acoustic_model
+        self.acoustic_variables = acoustic_variables
+        self.generator = generator
+        self.generator_params = generator_params
+        self.mean = jnp.asarray(scaler.mean)
+        self.std = jnp.asarray(scaler.std)
+        self.hop_total = hop_total
+        self.frame_bucket = max(1, int(frame_bucket))
+        self._fn = jax.jit(self._forward)
+
+    def _forward(self, frames: jnp.ndarray, mask: jnp.ndarray):
+        """frames (1, Tp, 1, H, W), mask (1, Tp) -> (audio, mel_db, mel_log)."""
+        pred_norm = self.acoustic_model.apply(
+            self.acoustic_variables, frames, train=False, mask=mask
+        )  # (1, Tp, n_mels)
+        mel_db = pred_norm * self.std + self.mean
+        mel_log = mel_db_to_log_power(mel_db)
+        x = jnp.swapaxes(mel_log, 1, 2)  # (1, n_mels, Tp)
+        audio = self.generator.apply({"params": self.generator_params}, x)
+        return audio, mel_db, mel_log
+
+    def __call__(self, frames: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """frames (T, H, W) float32 -> (audio (T*420,), mel_db (T,64), mel_log (T,64))."""
+        T = frames.shape[0]
+        Tp = ((T + self.frame_bucket - 1) // self.frame_bucket) * self.frame_bucket
+        f = np.empty((1, Tp, 1) + frames.shape[1:], dtype=np.float32)
+        f[0, :T, 0] = frames
+        if Tp > T:
+            f[0, T:, 0] = frames[-1]  # replicate-pad (masked in the BiLSTM)
+        mask = np.zeros((1, Tp), dtype=np.float32)
+        mask[0, :T] = 1.0
+        audio, mel_db, mel_log = self._fn(jnp.asarray(f), jnp.asarray(mask))
+        audio = np.asarray(audio)[0, 0, : T * self.hop_total]
+        return audio, np.asarray(mel_db)[0, :T], np.asarray(mel_log)[0, :T]
+
+    def timed_run(self, frames: np.ndarray, sr: int = 11413, warmup: bool = True):
+        """(audio, stats) with device-synchronised wall time and RTF.
+
+        `warmup=True` runs once first so compilation is excluded from the RTF.
+        """
+        T = frames.shape[0]
+        if warmup:
+            self(frames)
+        t0 = time.perf_counter()
+        audio, _, _ = self(frames)  # __call__ blocks on np.asarray transfers
+        dt = time.perf_counter() - t0
+        duration = len(audio) / sr
+        return audio, {
+            "frames": T,
+            "seconds_audio": duration,
+            "seconds_compute": dt,
+            "rtf": dt / duration if duration > 0 else float("inf"),
+        }
+
+
+def build_pipeline_from_checkpoints(
+    mri_checkpoint: str,
+    scaler_json: str,
+    hifigan_config: str,
+    hifigan_checkpoint: str,
+    *,
+    n_mels: int = 64,
+    rnn_hidden: int = 640,
+    dropout: float = 0.5,
+    frame_bucket: int = 64,
+    dtype=None,
+) -> VideoToSpeechPipeline:
+    from mri2speech_tpu.infer.vocoder_io import load_generator
+    from mri2speech_tpu.train import checkpoint as ckpt_io
+
+    scaler = MelScaler.load(scaler_json)
+    if scaler.n_mels != n_mels:
+        raise ValueError("Scaler mean/std length does not match n_mels")
+
+    model = AcousticModel(n_mels=n_mels, rnn_hidden=rnn_hidden, dropout=dropout, dtype=dtype)
+    obj = ckpt_io.load_checkpoint_raw(mri_checkpoint)
+    params = obj.get("params", obj.get("model_state_dict", obj))
+    batch_stats = obj.get("batch_stats", {})
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    generator, gen_params = load_generator(hifigan_config, hifigan_checkpoint, dtype=dtype)
+    return VideoToSpeechPipeline(
+        model, variables, generator, gen_params, scaler, frame_bucket=frame_bucket
+    )
+
+
+def save_outputs(audio, mel_db, output_dir: Path, sampling_rate: int, stem: str):
+    """wav + mel .npy + mel .png artifact bundle (`run_mri_video_inference.py:166-184`)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    output_dir.mkdir(parents=True, exist_ok=True)
+    audio_path = output_dir / f"{stem}_generated.wav"
+    write_wav_float(str(audio_path), audio, sampling_rate)
+    mel_path = output_dir / f"{stem}_mel.npy"
+    np.save(mel_path, mel_db)
+
+    plt.figure(figsize=(12, 4))
+    plt.imshow(mel_db.T, aspect="auto", origin="lower", cmap="viridis")
+    plt.colorbar()
+    plt.title(f"Generated Mel Spectrogram - {stem}")
+    plt.xlabel("Time")
+    plt.ylabel("Mel bins")
+    plt.tight_layout()
+    fig_path = output_dir / f"{stem}_mel.png"
+    plt.savefig(fig_path, dpi=150)
+    plt.close()
+    return audio_path, mel_path, fig_path
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(
+        description="rtMRI -> Speech inference (acoustic model + HiFi-GAN, fused on TPU)"
+    )
+    parser.add_argument("--video", required=True)
+    parser.add_argument("--mri-checkpoint", required=True)
+    parser.add_argument("--scaler-json", required=True)
+    parser.add_argument("--hifigan-config", required=True)
+    parser.add_argument("--hifigan-checkpoint", required=True)
+    parser.add_argument("--output-dir", required=True)
+    parser.add_argument("--max-frames", type=int, default=None)
+    parser.add_argument("--n-mels", type=int, default=64)
+    parser.add_argument("--rnn-hidden", type=int, default=640)
+    parser.add_argument("--dropout", type=float, default=0.5)
+    parser.add_argument("--frame-bucket", type=int, default=64)
+    args = parser.parse_args()
+
+    video_path = Path(args.video)
+    if not video_path.exists():
+        raise FileNotFoundError(f"Video file not found: {video_path}")
+
+    frames = load_video_frames_for_inference(video_path, max_frames=args.max_frames)
+    pipeline = build_pipeline_from_checkpoints(
+        args.mri_checkpoint, args.scaler_json, args.hifigan_config,
+        args.hifigan_checkpoint, n_mels=args.n_mels, rnn_hidden=args.rnn_hidden,
+        dropout=args.dropout, frame_bucket=args.frame_bucket,
+    )
+    audio, stats = pipeline.timed_run(frames)
+    _, mel_db, mel_log = pipeline(frames)
+
+    with open(args.hifigan_config, "r", encoding="utf-8") as f:
+        sr = json.load(f)["sampling_rate"]
+    stem = video_path.stem
+    output_dir = Path(args.output_dir)
+    audio_path, mel_path, fig_path = save_outputs(audio, mel_db, output_dir, sr, stem)
+    log_mel_path = output_dir / f"{stem}_mel_log.npy"
+    np.save(log_mel_path, mel_log)
+
+    print("[DONE] Inference complete.")
+    print(f"  RTF   : {stats['rtf']:.4f} ({stats['seconds_compute']:.2f}s for {stats['seconds_audio']:.2f}s audio)")
+    print(f"  Audio : {audio_path}")
+    print(f"  Mel   : {mel_path}")
+    print(f"  LogMel: {log_mel_path}")
+    print(f"  Figure: {fig_path}")
+
+
+if __name__ == "__main__":
+    main()

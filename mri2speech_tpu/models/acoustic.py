@@ -13,7 +13,10 @@ TPU design:
   `torch.utils.checkpoint` (`mri_acoustic_model.py:118-130`), trading FLOPs for
   HBM without any chunking logic;
 * 1-channel inputs are broadcast to 3 channels like the reference
-  (`mri_acoustic_model.py:41-44`).
+  (`mri_acoustic_model.py:41-44`);
+* submodules live in `setup()` so `__call__`, `cnn_features` and
+  `head_from_features` (the Grad-CAM split, `mri_gradcam_formant.py:128-166`)
+  share the same parameters.
 """
 from __future__ import annotations
 
@@ -57,83 +60,72 @@ class AcousticModel(nn.Module):
     cnn_stem: Optional[int] = None
     dtype: Optional[jnp.dtype] = None
 
-    @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Array:
-        if x.ndim == 4:
-            x = x[:, :, None, :, :]
-        if x.ndim != 5:
-            raise ValueError(f"Expected (B,T,1,H,W) or (B,T,H,W), got {x.shape}")
-        B, T = x.shape[0], x.shape[1]
-
-        # (B, T, C, H, W) -> (B*T, H, W, C) channels-last frames
-        frames = jnp.transpose(x.reshape(B * T, *x.shape[2:]), (0, 2, 3, 1))
-        if frames.shape[-1] == 1:
-            frames = jnp.broadcast_to(frames, frames.shape[:-1] + (3,))
-        if self.dtype is not None:
-            frames = frames.astype(self.dtype)
-
+    def setup(self) -> None:
         cnn_kwargs = {}
         if self.cnn_spec is not None:
             cnn_kwargs["spec"] = self.cnn_spec
         if self.cnn_stem is not None:
             cnn_kwargs["stem_channels"] = self.cnn_stem
-        cnn = EffNetV2Features(dtype=self.dtype, name="cnn", **cnn_kwargs)
-
-        def encode(f):
-            feat_map = cnn(f, train=train)          # (B*T, h, w, 208)
-            return jnp.mean(feat_map, axis=(1, 2))  # global average pool
-
-        if self.use_checkpoint and train:
-            encode = jax.checkpoint(encode)
-        feats = encode(frames).reshape(B, T, -1)    # (B, T, 208)
-
-        y = BiLSTMSumMerge(self.rnn_hidden, dtype=self.dtype, name="rnn")(feats)
-        y = nn.Dropout(self.dropout, deterministic=not train, name="dropout")(y)
-        out = nn.Dense(
+        self.cnn = EffNetV2Features(dtype=self.dtype, name="cnn", **cnn_kwargs)
+        self.rnn = BiLSTMSumMerge(self.rnn_hidden, dtype=self.dtype, name="rnn")
+        self.drop = nn.Dropout(self.dropout, name="dropout")
+        self.head = nn.Dense(
             self.n_mels,
             kernel_init=_torch_linear_init(self.rnn_hidden),
             bias_init=_torch_linear_init(self.rnn_hidden),
             dtype=self.dtype,
             name="head",
-        )(y)
-        return out.astype(jnp.float32)
+        )
 
-    def forward_with_features(self, x: Array, train: bool = False):
-        """Forward that also returns the pre-GAP CNN feature map.
-
-        Grad-CAM hook (`mri_gradcam_formant.py:128-166`): returns
-        (pred (B,T,n_mels), feats (B*T, h, w, C)). Use with `nn.apply` +
-        `jax.vjp` on the feature map — no retain_grad/train-mode juggling needed.
-        """
+    # -- internals ---------------------------------------------------------
+    def _to_frames(self, x: Array):
         if x.ndim == 4:
             x = x[:, :, None, :, :]
+        if x.ndim != 5:
+            raise ValueError(f"Expected (B,T,1,H,W) or (B,T,H,W), got {x.shape}")
         B, T = x.shape[0], x.shape[1]
         frames = jnp.transpose(x.reshape(B * T, *x.shape[2:]), (0, 2, 3, 1))
         if frames.shape[-1] == 1:
             frames = jnp.broadcast_to(frames, frames.shape[:-1] + (3,))
         if self.dtype is not None:
             frames = frames.astype(self.dtype)
+        return frames, B, T
 
-        cnn_kwargs = {}
-        if self.cnn_spec is not None:
-            cnn_kwargs["spec"] = self.cnn_spec
-        if self.cnn_stem is not None:
-            cnn_kwargs["stem_channels"] = self.cnn_stem
-        feats = EffNetV2Features(dtype=self.dtype, name="cnn", **cnn_kwargs)(frames, train=train)
+    # -- public forwards ---------------------------------------------------
+    def __call__(self, x: Array, train: bool = False, mask: Optional[Array] = None) -> Array:
+        frames, B, T = self._to_frames(x)
 
-        def head_from_feats(feat_map):
-            pooled = jnp.mean(feat_map, axis=(1, 2)).reshape(B, T, -1)
-            y = BiLSTMSumMerge(self.rnn_hidden, dtype=self.dtype, name="rnn")(pooled)
-            y = nn.Dropout(self.dropout, deterministic=not train, name="dropout")(y)
-            return nn.Dense(
-                self.n_mels,
-                kernel_init=_torch_linear_init(self.rnn_hidden),
-                bias_init=_torch_linear_init(self.rnn_hidden),
-                dtype=self.dtype,
-                name="head",
-            )(y).astype(jnp.float32)
+        if self.use_checkpoint and train:
+            # flax-aware rematerialisation of the conv encoder (the XLA remat
+            # analogue of the reference's checkpointed time-chunking)
+            feat_map = nn.remat(EffNetV2Features.__call__)(self.cnn, frames, train)
+        else:
+            feat_map = self.cnn(frames, train=train)    # (B*T, h, w, C)
+        feats = jnp.mean(feat_map, axis=(1, 2)).reshape(B, T, -1)
 
-        return head_from_feats(feats), feats
+        y = self.rnn(feats, mask)
+        y = self.drop(y, deterministic=not train)
+        return self.head(y).astype(jnp.float32)
+
+    def cnn_features(self, x: Array, train: bool = False) -> Array:
+        """Frames -> pre-GAP CNN feature maps (B*T, h, w, C)."""
+        frames, _, _ = self._to_frames(x)
+        return self.cnn(frames, train=train)
+
+    def head_from_features(
+        self, feats: Array, batch: int, timesteps: int, train: bool = False
+    ) -> Array:
+        """(B*T, h, w, C) feature maps -> (B, T, n_mels) predictions."""
+        pooled = jnp.mean(feats, axis=(1, 2)).reshape(batch, timesteps, -1)
+        y = self.rnn(pooled)
+        y = self.drop(y, deterministic=not train)
+        return self.head(y).astype(jnp.float32)
+
+    def forward_with_features(self, x: Array, train: bool = False):
+        """(pred (B,T,n_mels), feats (B*T,h,w,C)) in one pass (Grad-CAM hook)."""
+        frames, B, T = self._to_frames(x)
+        feats = self.cnn(frames, train=train)
+        return self.head_from_features(feats, B, T, train=train), feats
 
 
 def build_acoustic_model(

@@ -137,7 +137,7 @@ class Conv1d(nn.Module):
         u_new = w_mat @ v
         u_new = u_new / jnp.maximum(jnp.linalg.norm(u_new), 1e-12)
         sigma = u_new @ (w_mat @ v)
-        if not self.is_initializing():
+        if not self.is_initializing() and self.is_mutable_collection("norm_stats"):
             u_var.value = jax.lax.stop_gradient(u_new)
         return w / jnp.maximum(sigma, 1e-12)
 
@@ -261,7 +261,7 @@ class Conv2d(nn.Module):
         u_new = w_mat @ v
         u_new = u_new / jnp.maximum(jnp.linalg.norm(u_new), 1e-12)
         sigma = u_new @ (w_mat @ v)
-        if not self.is_initializing():
+        if not self.is_initializing() and self.is_mutable_collection("norm_stats"):
             u_var.value = jax.lax.stop_gradient(u_new)
         return w / jnp.maximum(sigma, 1e-12)
 

@@ -41,10 +41,15 @@ def lstm_direction(
     *,
     reverse: bool = False,
     unroll: int = 8,
+    mask: Optional[Array] = None,
 ) -> Array:
     """Run one LSTM direction over (B, T, C) -> (B, T, H).
 
     w_ih: (C, 4H), w_hh: (H, 4H), bias: (4H,) — gates ordered (i, f, g, o).
+
+    `mask` (B, T), 1=valid: padded steps hold the carry unchanged, which makes
+    trailing-padded inference EXACT for real frames in both directions (the
+    backward pass would otherwise leak padded-frame state into real frames).
     """
     B, T, _ = x_seq.shape
     H = w_hh.shape[0]
@@ -58,8 +63,7 @@ def lstm_direction(
 
     w_hh_c = w_hh.astype(compute_dtype)
 
-    def step(carry, xg_t):
-        h, c = carry
+    def compute(h, c, xg_t):
         gates = xg_t + h @ w_hh_c
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i = jax.nn.sigmoid(i)
@@ -68,13 +72,31 @@ def lstm_direction(
         o = jax.nn.sigmoid(o)
         c = f * c + i * g
         h = o * jnp.tanh(c)
-        return (h, c), h
+        return h, c
 
     init = (
         jnp.zeros((B, H), compute_dtype),
         jnp.zeros((B, H), compute_dtype),
     )
-    _, ys = jax.lax.scan(step, init, xg, reverse=reverse, unroll=unroll)
+
+    if mask is None:
+        def step(carry, xg_t):
+            h, c = compute(*carry, xg_t)
+            return (h, c), h
+
+        _, ys = jax.lax.scan(step, init, xg, reverse=reverse, unroll=unroll)
+    else:
+        m_seq = jnp.swapaxes(mask.astype(compute_dtype), 0, 1)[..., None]  # (T, B, 1)
+
+        def step(carry, xs):
+            xg_t, m_t = xs
+            h0, c0 = carry
+            h1, c1 = compute(h0, c0, xg_t)
+            h = m_t * h1 + (1.0 - m_t) * h0
+            c = m_t * c1 + (1.0 - m_t) * c0
+            return (h, c), h
+
+        _, ys = jax.lax.scan(step, init, (xg, m_seq), reverse=reverse, unroll=unroll)
     return jnp.swapaxes(ys, 0, 1)  # (B, T, H)
 
 
@@ -86,7 +108,7 @@ class BiLSTMSumMerge(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
         C = x.shape[-1]
         H = self.hidden_size
         init = _torch_lstm_init(H)
@@ -101,6 +123,8 @@ class BiLSTMSumMerge(nn.Module):
             # so a single fused bias is stored (converter adds them).
             b = self.param(f"b_{direction}", init, (4 * H,))
             outs.append(
-                lstm_direction(x, w_ih, w_hh, b, reverse=reverse, unroll=self.unroll)
+                lstm_direction(
+                    x, w_ih, w_hh, b, reverse=reverse, unroll=self.unroll, mask=mask
+                )
             )
         return outs[0] + outs[1]

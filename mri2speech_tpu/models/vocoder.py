@@ -52,6 +52,7 @@ class ResBlock1(nn.Module):
     channels: int
     kernel_size: int = 3
     dilation: Tuple[int, ...] = (1, 3, 5)
+    use_weight_norm: bool = True
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -61,13 +62,13 @@ class ResBlock1(nn.Module):
             xt = leaky_relu(x, LRELU_SLOPE)
             xt = Conv1d(
                 self.channels, k, dilation=d, padding=(d * (k - 1), 0),
-                weight_norm=True, kernel_init=normal_init(0.01),
+                weight_norm=self.use_weight_norm, kernel_init=normal_init(0.01),
                 dtype=self.dtype, name=f"convs1_{i}",
             )(xt)
             xt = leaky_relu(xt, LRELU_SLOPE)
             xt = Conv1d(
                 self.channels, k, dilation=1, padding=(k - 1, 0),
-                weight_norm=True, kernel_init=normal_init(0.01),
+                weight_norm=self.use_weight_norm, kernel_init=normal_init(0.01),
                 dtype=self.dtype, name=f"convs2_{i}",
             )(xt)
             x = x + xt
@@ -80,6 +81,7 @@ class ResBlock2(nn.Module):
     channels: int
     kernel_size: int = 3
     dilation: Tuple[int, ...] = (1, 3)
+    use_weight_norm: bool = True
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -89,7 +91,7 @@ class ResBlock2(nn.Module):
             xt = leaky_relu(x, LRELU_SLOPE)
             xt = Conv1d(
                 self.channels, k, dilation=d, padding=(d * (k - 1), 0),
-                weight_norm=True, kernel_init=normal_init(0.01),
+                weight_norm=self.use_weight_norm, kernel_init=normal_init(0.01),
                 dtype=self.dtype, name=f"convs_{i}",
             )(xt)
             x = x + xt
@@ -105,6 +107,7 @@ class Generator(nn.Module):
     """
 
     h: dict  # AttrDict-compatible config (config_custom.json schema)
+    use_weight_norm: bool = True  # False after fold_weight_norm (inference)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -129,7 +132,7 @@ class Generator(nn.Module):
             ch = h["upsample_initial_channel"] // (2 ** (i + 1))
             x = ConvTranspose1d(
                 ch, k, stride=u, padding=(k - u) // 2,
-                weight_norm=True, kernel_init=normal_init(0.01),
+                weight_norm=self.use_weight_norm, kernel_init=normal_init(0.01),
                 dtype=self.dtype, name=f"ups_{i}",
             )(x)
             xs = None
@@ -137,15 +140,15 @@ class Generator(nn.Module):
                 zip(h["resblock_kernel_sizes"], h["resblock_dilation_sizes"])
             ):
                 r = resblock_cls(
-                    ch, rk, tuple(rd), dtype=self.dtype,
-                    name=f"resblocks_{i * num_kernels + j}",
+                    ch, rk, tuple(rd), use_weight_norm=self.use_weight_norm,
+                    dtype=self.dtype, name=f"resblocks_{i * num_kernels + j}",
                 )(x)
                 xs = r if xs is None else xs + r
             x = xs / num_kernels
 
         x = leaky_relu(x, 0.01)  # fork quirk: default slope here (`models.py:126`)
         x = Conv1d(
-            1, 7, padding=(0, 6), weight_norm=True,
+            1, 7, padding=(0, 6), weight_norm=self.use_weight_norm,
             kernel_init=normal_init(0.01), dtype=self.dtype, name="conv_post",
         )(x)
         x = jnp.tanh(x.astype(jnp.float32))

@@ -6,15 +6,25 @@ is imported anywhere, hence it lives at conftest import time.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard-set: the environment pre-sets JAX_PLATFORMS=axon (real TPU via tunnel);
+# tests must run on the host CPU with 8 virtual devices
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+# The axon bootstrap (sitecustomize) registers the tunneled TPU and pins
+# jax_platforms via jax.config, which outranks the env var — override through
+# the config as well so tests genuinely run on the virtual-8-device CPU.
+jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+# JAX 0.9 defaults matmuls/convs to reduced precision even on CPU; parity tests
+# against torch fp32 need exact fp32 accumulation.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

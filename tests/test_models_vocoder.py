@@ -153,10 +153,9 @@ def test_generator_fold_weight_norm_inference_identical():
     x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 64, 5)), dtype=jnp.float32)
     params = g.init(jax.random.PRNGKey(1), x)
     y1 = np.asarray(g.apply(params, x))
-    folded = jax.tree_util.tree_map(
-        lambda p: p, {"params": L.fold_weight_norm(params["params"])}
-    )
-    y2 = np.asarray(g.apply(folded, x))
+    folded = {"params": L.fold_weight_norm(params["params"])}
+    g_folded = Generator(h=dict(h), use_weight_norm=False)
+    y2 = np.asarray(g_folded.apply(folded, x))
     np.testing.assert_allclose(y1, y2, atol=1e-5, rtol=1e-4)
 
 
