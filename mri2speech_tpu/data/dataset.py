@@ -243,9 +243,42 @@ class FixedLenPairDataset:
         return (H, W) == self.expected_hw
 
     def gather_batch(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
-        """Contiguous batch gather, grouped per backing file for mmap locality."""
+        """Contiguous batch gather, grouped per backing file for mmap locality.
+
+        npy-mmap mode uses the native C++ row gather (runtime/gather.cpp) when
+        built — one memcpy sweep per (file, key) instead of per-item Python
+        indexing; falls back to numpy fancy indexing otherwise. Shape guards
+        hold structurally in npy mode (homogeneous per-file arrays validated at
+        index time), so the per-item skip path is only needed for npz mode.
+        """
+        if self.mode == "npy":
+            from collections import defaultdict
+
+            from mri2speech_tpu.runtime.native import gather_rows
+
+            by_file: Dict[int, list] = defaultdict(list)
+            for pos, idx in enumerate(indices):
+                fi, loc = self._map_index(int(idx))
+                by_file[fi].append((pos, loc))
+            out: Optional[Dict[str, np.ndarray]] = None
+            for fi, entries in by_file.items():
+                arrs = self._arrays(fi)
+                positions = np.asarray([p for p, _ in entries])
+                locs = np.asarray([l for _, l in entries], dtype=np.int64)
+                for k in ("mri", "mel", "mask"):
+                    rows = gather_rows(np.asarray(arrs[k]), locs)
+                    if out is None:
+                        out = {}
+                    if k not in out:
+                        out[k] = np.empty(
+                            (len(indices),) + rows.shape[1:], dtype=rows.dtype
+                        )
+                    out[k][positions] = rows
+            assert out is not None
+            return out
+
         order = np.argsort([self._map_index(int(i))[0] for i in indices], kind="stable")
-        out: Optional[Dict[str, np.ndarray]] = None
+        out = None
         for pos in order:
             idx = int(indices[int(pos)])
             item = self[idx]

@@ -98,7 +98,9 @@ class AcousticModel(nn.Module):
         if self.use_checkpoint and train:
             # flax-aware rematerialisation of the conv encoder (the XLA remat
             # analogue of the reference's checkpointed time-chunking)
-            feat_map = nn.remat(EffNetV2Features.__call__)(self.cnn, frames, train)
+            feat_map = nn.remat(EffNetV2Features.__call__, static_argnums=(2,))(
+                self.cnn, frames, train
+            )
         else:
             feat_map = self.cnn(frames, train=train)    # (B*T, h, w, C)
         feats = jnp.mean(feat_map, axis=(1, 2)).reshape(B, T, -1)

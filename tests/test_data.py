@@ -258,3 +258,18 @@ def test_compute_mel_db_host_matches_direct(rng):
     hosted = compute_mel_db_host(y, SR)
     assert hosted.shape == direct.shape
     np.testing.assert_allclose(hosted, direct, atol=1e-3)
+
+
+def test_native_gather_matches_numpy(tmp_path):
+    from mri2speech_tpu.runtime import native
+
+    src = np.arange(5 * 3 * 4, dtype=np.float32).reshape(5, 3, 4)
+    np.save(tmp_path / "src.npy", src)
+    mm = np.load(tmp_path / "src.npy", mmap_mode="r")
+    idx = np.array([4, 0, 2], dtype=np.int64)
+    out = native.gather_rows(mm, idx)
+    np.testing.assert_array_equal(out, src[idx])
+    native.prefetch_rows(mm, idx)  # no-op or madvise; must not crash
+    # int64 indices of any dtype input
+    out2 = native.gather_rows(np.asarray(mm), [1, 1])
+    np.testing.assert_array_equal(out2, src[[1, 1]])

@@ -1,0 +1,262 @@
+"""Inference pipeline, exporters, Grad-CAM, masking, and eval tests (tiny models)."""
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mri2speech_tpu.config import default_vocoder_config
+from mri2speech_tpu.infer.pipeline import VideoToSpeechPipeline
+from mri2speech_tpu.models.acoustic import AcousticModel
+from mri2speech_tpu.models.effnetv2 import StageSpec
+from mri2speech_tpu.models.layers import fold_weight_norm
+from mri2speech_tpu.models.vocoder import Generator
+from mri2speech_tpu.ops.scaler import MelScaler
+
+TINY_SPEC = (
+    StageSpec("cn", 3, 1, 1, 8, 1),
+    StageSpec("er", 3, 2, 2, 8, 1),
+    StageSpec("ir", 3, 2, 2, 16, 1, 0.25),
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    acoustic = AcousticModel(n_mels=64, rnn_hidden=16, cnn_spec=TINY_SPEC, cnn_stem=8)
+    variables = acoustic.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, 1, 64, 64)), train=False
+    )
+    h = dict(default_vocoder_config(upsample_initial_channel=32))
+    gen_wn = Generator(h=h)
+    params_wn = gen_wn.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 4)))["params"]
+    gen = Generator(h=h, use_weight_norm=False)
+    gen_params = fold_weight_norm(jax.device_get(params_wn))
+    scaler = MelScaler(
+        mean=np.linspace(-40, -10, 64).astype(np.float32),
+        std=np.full(64, 5.0, dtype=np.float32),
+    )
+    return acoustic, variables, gen, gen_params, scaler, h
+
+
+def test_pipeline_shapes_and_padding_exactness(tiny_setup):
+    acoustic, variables, gen, gen_params, scaler, h = tiny_setup
+    rng = np.random.default_rng(0)
+    frames = rng.random((10, 64, 64)).astype(np.float32)
+
+    pipe = VideoToSpeechPipeline(
+        acoustic, variables, gen, gen_params, scaler, frame_bucket=8
+    )
+    audio, mel_db, mel_log = pipe(frames)
+    assert audio.shape == (10 * 420,)
+    assert mel_db.shape == (10, 64)
+    assert mel_log.shape == (10, 64)
+    assert np.all(np.abs(audio) <= 1.0)
+
+    # mask-exact BiLSTM: acoustic mels identical with exact (bucket=1) run
+    pipe_exact = VideoToSpeechPipeline(
+        acoustic, variables, gen, gen_params, scaler, frame_bucket=1
+    )
+    _, mel_db_exact, _ = pipe_exact(frames)
+    np.testing.assert_allclose(mel_db, mel_db_exact, atol=2e-4, rtol=1e-4)
+
+
+def test_pipeline_timed_run(tiny_setup):
+    acoustic, variables, gen, gen_params, scaler, h = tiny_setup
+    pipe = VideoToSpeechPipeline(
+        acoustic, variables, gen, gen_params, scaler, frame_bucket=8
+    )
+    frames = np.random.default_rng(1).random((8, 64, 64)).astype(np.float32)
+    audio, stats = pipe.timed_run(frames)
+    assert stats["rtf"] > 0 and np.isfinite(stats["rtf"])
+    assert stats["frames"] == 8
+
+
+def test_predicted_mel_exporter_bridge(tiny_setup):
+    from mri2speech_tpu.infer.export_mels import PredictedMelExporter
+
+    acoustic, variables, gen, gen_params, scaler, h = tiny_setup
+    exporter = PredictedMelExporter(acoustic, variables, scaler)
+    mri = np.random.default_rng(2).random((6, 64, 64)).astype(np.float32)
+    mel_log = exporter.export(mri)
+    assert mel_log.shape == (64, 6)
+
+    # must equal acoustic forward -> denorm -> dB->ln-power bridge
+    pred = np.asarray(
+        acoustic.apply(variables, jnp.asarray(mri[None, :, None]), train=False)
+    )[0]
+    mel_db = pred * scaler.std + scaler.mean
+    expected = np.log(np.maximum(np.power(10.0, mel_db / 10.0), 1e-5)).T
+    np.testing.assert_allclose(mel_log, expected, atol=2e-4, rtol=1e-4)
+
+
+def test_groundtruth_mel_bridge_matches_numpy():
+    from mri2speech_tpu.infer.export_mels import convert_mel_db_to_log_power
+
+    mel_db = np.random.default_rng(0).uniform(-80, 10, (12, 64)).astype(np.float32)
+    out = convert_mel_db_to_log_power(mel_db)
+    expected = np.log(np.maximum(np.power(10.0, mel_db / 10.0), 1e-5)).T
+    assert out.shape == (64, 12)
+    np.testing.assert_allclose(out, expected, atol=1e-5)
+    with pytest.raises(ValueError):
+        convert_mel_db_to_log_power(mel_db[None])
+
+
+def test_copy_synthesis_and_mel_inference_cli(tmp_path, tiny_setup):
+    from mri2speech_tpu.data.audio_io import write_wav
+    from mri2speech_tpu.infer.copy_synthesis import run_copy_synthesis
+    from mri2speech_tpu.infer.mel_inference import run_mel_inference
+    from mri2speech_tpu.train import checkpoint as ckpt_io
+
+    acoustic, variables, gen, gen_params, scaler, h = tiny_setup
+    # save an UNFOLDED generator checkpoint (training format)
+    gen_wn = Generator(h=h)
+    params_wn = gen_wn.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 4)))["params"]
+    ckpt_dir = tmp_path / "cp"
+    ckpt_dir.mkdir()
+    ckpt_io.save_checkpoint(str(ckpt_dir / "g_00000001"), {"generator": jax.device_get(params_wn)})
+    with open(ckpt_dir / "config.json", "w") as f:
+        json.dump(h, f)
+
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    sr = h["sampling_rate"]
+    t = np.arange(sr) / sr
+    wav = (0.3 * np.sin(2 * np.pi * 220 * t) * 32767).astype(np.int16)
+    write_wav(str(wav_dir / "tone.wav"), sr, wav)
+
+    out_dir = tmp_path / "gen"
+    run_copy_synthesis(str(wav_dir), str(out_dir), str(ckpt_dir / "g_00000001"))
+    assert (out_dir / "tone_generated.wav").is_file()
+
+    mel_dir = tmp_path / "mels"
+    mel_dir.mkdir()
+    np.save(mel_dir / "m1.npy", np.random.default_rng(0).standard_normal((64, 9)).astype(np.float32))
+    out2 = tmp_path / "gen2"
+    run_mel_inference(str(mel_dir), str(out2), str(ckpt_dir / "g_00000001"))
+    produced = out2 / "m1_generated_e2e.wav"
+    assert produced.is_file()
+    from mri2speech_tpu.data.audio_io import load_wav
+
+    data, rate = load_wav(str(produced))
+    assert rate == sr and len(data) == 9 * 420
+
+
+def test_gradcam_bands_and_heatmaps(tiny_setup):
+    from mri2speech_tpu.interpret.gradcam import compute_gradcam, parse_band_arguments
+
+    acoustic, variables, gen, gen_params, scaler, h = tiny_setup
+    bands = parse_band_arguments(None, 64, 11413, 0.0, 8000.0)
+    assert set(bands) == {"F1", "F2"}
+    assert bands["F1"].min() >= 0 and bands["F2"].max() < 64
+    custom = parse_band_arguments(["X:100-500"], 64, 11413, 0.0, 8000.0)
+    assert "X" in custom
+    with pytest.raises(ValueError):
+        parse_band_arguments(["bad"], 64, 11413, 0.0, 8000.0)
+    with pytest.raises(ValueError):
+        parse_band_arguments(["Y:900-300"], 64, 11413, 0.0, 8000.0)
+
+    frames = np.random.default_rng(3).random((5, 64, 64)).astype(np.float32)
+    out = compute_gradcam(
+        acoustic, variables, frames, scaler.mean, scaler.std, bands["F1"],
+        frame_indices=[0, 3],
+    )
+    assert out.heatmaps.shape == (5, 64, 64)
+    assert out.heatmaps.min() >= 0.0 and out.heatmaps.max() <= 1.0 + 1e-6
+    assert set(out.per_frame) == {0, 3}
+    assert out.per_frame[3].shape == (64, 64)
+
+
+def test_masking_presets_and_custom(tmp_path):
+    from mri2speech_tpu.interpret.masking import (
+        LIP_MASK,
+        TONGUE_MASK,
+        apply_mask_to_frames,
+        build_mask,
+        parse_custom_points,
+    )
+
+    poly = LIP_MASK.scaled((256, 256))
+    mask = build_mask((256, 256), poly, alpha=0.1, blur_kernel=11)
+    assert mask.shape == (256, 256)
+    assert mask.min() >= 0.1 - 1e-6 and mask.max() <= 1.0
+    # interior attenuated, far corner untouched
+    assert mask[120, 25] < 0.2
+    assert mask[250, 250] == 1.0
+
+    # scaling to another size
+    poly_small = TONGUE_MASK.scaled((128, 128))
+    assert poly_small.max() <= 128.0
+
+    frames = np.ones((3, 256, 256), dtype=np.float32)
+    masked = apply_mask_to_frames(frames, mask)
+    assert masked.shape == frames.shape
+    assert masked[0, 120, 25] < 0.2
+
+    pts = parse_custom_points(["10,10", "50,10", "30,40"])
+    assert len(pts) == 3
+    with pytest.raises(ValueError):
+        parse_custom_points(["10,10", "50,10"])
+    with pytest.raises(ValueError):
+        parse_custom_points(["10"])
+
+
+def test_eval_mel_metrics(tiny_setup):
+    from mri2speech_tpu.eval.eval_mel import evaluate, mcd_like, simple_masked_loss
+
+    rng = np.random.default_rng(0)
+    pred = rng.standard_normal((2, 6, 64)).astype(np.float32)
+    tgt = rng.standard_normal((2, 6, 64)).astype(np.float32)
+    mask = np.ones((2, 6), dtype=np.float32)
+    loss, mse, mae = simple_masked_loss(pred, tgt, mask)
+    # reference semantics: denominator is the VALID FRAME count (mask.sum()),
+    # not the element count (`eval_mel.py:24-32`)
+    ref_mse = ((pred - tgt) ** 2).sum() / mask.sum()
+    np.testing.assert_allclose(mse, ref_mse, rtol=1e-5)
+    np.testing.assert_allclose(loss, 0.8 * mse + 0.2 * mae, rtol=1e-6)
+
+    mean = np.full((1, 64), -30.0, dtype=np.float32)
+    std = np.full((1, 64), 4.0, dtype=np.float32)
+    val = mcd_like(pred[0], tgt[0], mean, std)
+    assert val is not None and np.isfinite(val) and val > 0
+    assert mcd_like(pred[0], pred[0], mean, std) == pytest.approx(0.0, abs=1e-4)
+    assert mcd_like(pred[0], tgt[0], None, None) is None
+
+    acoustic, variables, gen, gen_params, scaler, h = tiny_setup
+    loader = [
+        {
+            "mri": rng.random((2, 4, 1, 64, 64)).astype(np.float32),
+            "mel": rng.standard_normal((2, 4, 64)).astype(np.float32),
+            "mask": np.ones((2, 4), dtype=np.float32),
+        }
+    ]
+    res = evaluate(acoustic, variables, loader, stats={"mean": scaler.mean, "std": scaler.std})
+    assert {"loss", "mse", "mae", "mcd_like"} <= set(res)
+
+
+def test_vardataset(tmp_path):
+    from mri2speech_tpu.data.vardataset import MRIMelDataset, collate_pad
+
+    rng = np.random.default_rng(0)
+    for stem, T in (("a", 10), ("b", 7)):
+        np.save(tmp_path / f"{stem}_video.npy", rng.random((T, 16, 16)).astype(np.float32))
+        np.save(tmp_path / f"{stem}_audio.npy", rng.random((T + 1, 64)).astype(np.float32))
+    ds = MRIMelDataset(str(tmp_path))
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["mri"].shape == (10, 1, 16, 16)  # trimmed to common T
+    assert item["mel"].shape == (10, 64)
+
+    batch = collate_pad([ds[0], ds[1]])
+    assert batch["mri"].shape == (2, 10, 1, 16, 16)
+    assert batch["mask"][1, 7:].sum() == 0  # padded region masked out
+    # replication padding: padded frames equal the last real frame
+    np.testing.assert_array_equal(batch["mri"][1, 9], batch["mri"][1, 6])
+
+    ds_fixed = MRIMelDataset(str(tmp_path), sequence_length=8)
+    item = ds_fixed[0]
+    assert item["mri"].shape == (8, 1, 16, 16)
+    item_b = ds_fixed[1]
+    assert item_b["mask"].sum() == 7  # 7 valid + 1 padded
