@@ -36,11 +36,17 @@ REPEATS = 5
 def build_pipeline(dtype=None) -> VideoToSpeechPipeline:
     rng = jax.random.PRNGKey(0)
     acoustic = AcousticModel(dtype=dtype)
-    variables = acoustic.init(rng, jnp.zeros((1, 2, 1, 256, 256)), train=False)
+    # jit the inits: one compiled program instead of hundreds of eager ops
+    # (matters a lot when the chip is reached through a high-latency tunnel)
+    variables = jax.jit(
+        lambda r: acoustic.init(r, jnp.zeros((1, 2, 1, 256, 256)), train=False)
+    )(rng)
 
     h = dict(default_vocoder_config())
     gen_wn = Generator(h=h)
-    gen_params = gen_wn.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 4)))["params"]
+    gen_params = jax.jit(
+        lambda r: gen_wn.init(r, jnp.zeros((1, 64, 4)))["params"]
+    )(jax.random.PRNGKey(1))
     gen = Generator(h=h, use_weight_norm=False, dtype=dtype)
     folded = fold_weight_norm(jax.device_get(gen_params))
 
