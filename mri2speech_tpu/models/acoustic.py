@@ -58,6 +58,7 @@ class AcousticModel(nn.Module):
     use_checkpoint: bool = False
     cnn_spec: Optional[tuple] = None
     cnn_stem: Optional[int] = None
+    lstm_impl: str = "scan"  # "pallas" for the VMEM-resident inference kernel
     dtype: Optional[jnp.dtype] = None
 
     def setup(self) -> None:
@@ -67,7 +68,9 @@ class AcousticModel(nn.Module):
         if self.cnn_stem is not None:
             cnn_kwargs["stem_channels"] = self.cnn_stem
         self.cnn = EffNetV2Features(dtype=self.dtype, name="cnn", **cnn_kwargs)
-        self.rnn = BiLSTMSumMerge(self.rnn_hidden, dtype=self.dtype, name="rnn")
+        self.rnn = BiLSTMSumMerge(
+            self.rnn_hidden, impl=self.lstm_impl, dtype=self.dtype, name="rnn"
+        )
         self.drop = nn.Dropout(self.dropout, name="dropout")
         self.head = nn.Dense(
             self.n_mels,

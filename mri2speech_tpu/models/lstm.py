@@ -101,10 +101,16 @@ def lstm_direction(
 
 
 class BiLSTMSumMerge(nn.Module):
-    """1-layer BiLSTM, forward+backward outputs SUMMED (`mri_acoustic_model.py:50-72`)."""
+    """1-layer BiLSTM, forward+backward outputs SUMMED (`mri_acoustic_model.py:50-72`).
+
+    impl: "scan" (differentiable `lax.scan`, default) or "pallas" (forward-only
+    TPU kernel with the recurrent weights pinned in VMEM — see
+    `ops/pallas_lstm.py`; use for inference).
+    """
 
     hidden_size: int = 640
     unroll: int = 8
+    impl: str = "scan"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -115,6 +121,13 @@ class BiLSTMSumMerge(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
 
+        if self.impl == "pallas":
+            from mri2speech_tpu.ops.pallas_lstm import lstm_direction_pallas
+
+            run = lambda *a, **k: lstm_direction_pallas(*a, **k)  # noqa: E731
+        else:
+            run = lambda *a, **k: lstm_direction(*a, unroll=self.unroll, **k)  # noqa: E731
+
         outs = []
         for direction, reverse in (("fwd", False), ("bwd", True)):
             w_ih = self.param(f"w_ih_{direction}", init, (C, 4 * H))
@@ -122,9 +135,5 @@ class BiLSTMSumMerge(nn.Module):
             # torch keeps separate b_ih and b_hh; they only ever appear summed,
             # so a single fused bias is stored (converter adds them).
             b = self.param(f"b_{direction}", init, (4 * H,))
-            outs.append(
-                lstm_direction(
-                    x, w_ih, w_hh, b, reverse=reverse, unroll=self.unroll, mask=mask
-                )
-            )
+            outs.append(run(x, w_ih, w_hh, b, reverse=reverse, mask=mask))
         return outs[0] + outs[1]

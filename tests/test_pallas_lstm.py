@@ -1,0 +1,50 @@
+"""Pallas LSTM recurrence kernel vs the lax.scan implementation (interpret mode)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mri2speech_tpu.models.lstm import lstm_direction
+from mri2speech_tpu.ops.pallas_lstm import lstm_direction_pallas
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_pallas_lstm_matches_scan(rng, reverse):
+    B, T, C, H = 2, 6, 8, 16
+    x = rng.standard_normal((B, T, C)).astype(np.float32)
+    w_ih = (rng.standard_normal((C, 4 * H)) * 0.2).astype(np.float32)
+    w_hh = (rng.standard_normal((H, 4 * H)) * 0.2).astype(np.float32)
+    b = (rng.standard_normal(4 * H) * 0.1).astype(np.float32)
+
+    ref = np.asarray(lstm_direction(jnp.asarray(x), w_ih, w_hh, b, reverse=reverse))
+    out = np.asarray(
+        lstm_direction_pallas(
+            jnp.asarray(x), w_ih, w_hh, b, reverse=reverse, interpret=True
+        )
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-4)
+
+
+def test_pallas_lstm_masked_matches_scan(rng):
+    B, T, C, H = 1, 8, 4, 8
+    x = rng.standard_normal((B, T, C)).astype(np.float32)
+    w_ih = (rng.standard_normal((C, 4 * H)) * 0.2).astype(np.float32)
+    w_hh = (rng.standard_normal((H, 4 * H)) * 0.2).astype(np.float32)
+    b = np.zeros(4 * H, dtype=np.float32)
+    mask = np.ones((B, T), dtype=np.float32)
+    mask[:, 5:] = 0.0  # trailing padding
+
+    for reverse in (False, True):
+        ref = np.asarray(
+            lstm_direction(
+                jnp.asarray(x), w_ih, w_hh, b, reverse=reverse, mask=jnp.asarray(mask)
+            )
+        )
+        out = np.asarray(
+            lstm_direction_pallas(
+                jnp.asarray(x), w_ih, w_hh, b, reverse=reverse,
+                mask=jnp.asarray(mask), interpret=True,
+            )
+        )
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-4)
