@@ -88,7 +88,9 @@ def evaluate(
     n_mfcc: int = 13,
 ) -> Dict[str, float]:
     """Run the eval loop over a batch iterable of {mri, mel, mask}."""
-    forward = jax.jit(lambda batch: model.apply(variables, batch, train=False))
+    variables = jax.device_put(variables)
+    forward_ = jax.jit(lambda v, batch: model.apply(v, batch, train=False))
+    forward = lambda batch: forward_(variables, batch)  # noqa: E731
     tot_loss = tot_mse = tot_mae = 0.0
     n_batches = 0
     mcd_vals = []

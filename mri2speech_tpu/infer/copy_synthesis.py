@@ -24,15 +24,17 @@ _SAMPLE_BUCKET = 1 << 15
 
 
 def _make_fn(generator, params, h):
+    params = jax.device_put(params)
+
     @jax.jit
-    def fn(audio):  # (1, L)
+    def fn(params_, audio):  # (1, L); params as an ARGUMENT (no HLO literals)
         x = mel_spectrogram(
             audio, h["n_fft"], h["num_mels"], h["sampling_rate"],
             h["hop_size"], h["win_size"], h["fmin"], h["fmax"],
         )
-        return generator.apply({"params": params}, x)
+        return generator.apply({"params": params_}, x)
 
-    return fn
+    return lambda audio: fn(params, audio)
 
 
 def run_copy_synthesis(input_wavs_dir: str, output_dir: str, checkpoint_file: str,

@@ -38,13 +38,14 @@ def convert_mel_db_to_log_power(mel_db: np.ndarray) -> np.ndarray:
 class PredictedMelExporter:
     def __init__(self, model: AcousticModel, variables: dict, scaler: MelScaler):
         self.model = model
-        self.variables = variables
+        # jit ARGUMENT, not a closure constant (avoids giant HLO literals)
+        self.variables = jax.device_put(variables)
         self.mean = jnp.asarray(scaler.mean)
         self.std = jnp.asarray(scaler.std)
         self._fn = jax.jit(self._forward)
 
-    def _forward(self, frames, mask):
-        pred_norm = self.model.apply(self.variables, frames, train=False, mask=mask)
+    def _forward(self, variables, frames, mask):
+        pred_norm = self.model.apply(variables, frames, train=False, mask=mask)
         mel_db = pred_norm * self.std + self.mean
         return mel_db_to_log_power(mel_db)
 
@@ -58,7 +59,9 @@ class PredictedMelExporter:
             buf[0, T:, 0] = mri[-1]
         mask = np.zeros((1, Tp), dtype=np.float32)
         mask[0, :T] = 1.0
-        mel_log = np.asarray(self._fn(jnp.asarray(buf), jnp.asarray(mask)))[0, :T]
+        mel_log = np.asarray(
+            self._fn(self.variables, jnp.asarray(buf), jnp.asarray(mask))
+        )[0, :T]
         return mel_log.T.astype(np.float32)  # (n_mels, T)
 
 

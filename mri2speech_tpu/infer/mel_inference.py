@@ -37,7 +37,9 @@ def run_mel_inference(input_mels_dir: str, output_dir: str, checkpoint_file: str
         config_file = os.path.join(os.path.split(checkpoint_file)[0], "config.json")
     generator, params = load_generator(config_file, checkpoint_file)
     h = generator.h
-    fn = jax.jit(lambda x: generator.apply({"params": params}, x))
+    params = jax.device_put(params)
+    _fn = jax.jit(lambda p, x: generator.apply({"params": p}, x))
+    fn = lambda x: _fn(params, x)  # noqa: E731 — params stay jit arguments
     os.makedirs(output_dir, exist_ok=True)
 
     for filename in sorted(os.listdir(input_mels_dir)):

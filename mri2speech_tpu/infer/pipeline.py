@@ -46,41 +46,81 @@ class VideoToSpeechPipeline:
         *,
         hop_total: int = 420,
         frame_bucket: int = 64,
+        input_norm: str = "none",
     ) -> None:
+        """input_norm:
+        * "none" — frames arrive already normalised (float [0,1] or z-scored)
+        * "zscore_minmax" — the reference's INFERENCE normalisation
+          (`run_mri_video_inference.py:41-54`: per-frame z-score then min-max
+          to [0,1]) is applied ON DEVICE inside the fused program; frames may
+          then be fed as raw uint8 (4x less host->device traffic).
+        """
         self.acoustic_model = acoustic_model
-        self.acoustic_variables = acoustic_variables
+        # device_put once; weights are passed as jit ARGUMENTS (closing over
+        # them would embed tens of MB of literals in the HLO and stall
+        # compilation, especially with remote compile)
+        self.acoustic_variables = jax.device_put(acoustic_variables)
         self.generator = generator
-        self.generator_params = generator_params
+        self.generator_params = jax.device_put(generator_params)
         self.mean = jnp.asarray(scaler.mean)
         self.std = jnp.asarray(scaler.std)
         self.hop_total = hop_total
         self.frame_bucket = max(1, int(frame_bucket))
+        self.input_norm = input_norm
         self._fn = jax.jit(self._forward)
 
-    def _forward(self, frames: jnp.ndarray, mask: jnp.ndarray):
+    @staticmethod
+    def _normalize_frames(frames):
+        """Per-frame z-score -> min-max [0,1] on device (frames (..., H, W))."""
+        f = frames.astype(jnp.float32)
+        mean = jnp.mean(f, axis=(-2, -1), keepdims=True)
+        std = jnp.std(f, axis=(-2, -1), keepdims=True)
+        g = (f - mean) / jnp.where(std > 0, std, 1.0)
+        lo = jnp.min(g, axis=(-2, -1), keepdims=True)
+        hi = jnp.max(g, axis=(-2, -1), keepdims=True)
+        return jnp.where(hi > lo, (g - lo) / jnp.where(hi > lo, hi - lo, 1.0), 0.0)
+
+    def _forward(self, acoustic_variables, generator_params, frames, mask):
         """frames (1, Tp, 1, H, W), mask (1, Tp) -> (audio, mel_db, mel_log)."""
+        if self.input_norm == "zscore_minmax":
+            frames = self._normalize_frames(frames)
+        else:
+            frames = frames.astype(jnp.float32)
         pred_norm = self.acoustic_model.apply(
-            self.acoustic_variables, frames, train=False, mask=mask
+            acoustic_variables, frames, train=False, mask=mask
         )  # (1, Tp, n_mels)
         mel_db = pred_norm * self.std + self.mean
         mel_log = mel_db_to_log_power(mel_db)
         x = jnp.swapaxes(mel_log, 1, 2)  # (1, n_mels, Tp)
-        audio = self.generator.apply({"params": self.generator_params}, x)
+        audio = self.generator.apply({"params": generator_params}, x)
         return audio, mel_db, mel_log
 
     def __call__(self, frames: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """frames (T, H, W) float32 -> (audio (T*420,), mel_db (T,64), mel_log (T,64))."""
+        f, mask = self.prepare_inputs(frames)
+        audio, mel_db, mel_log = self._fn(
+            self.acoustic_variables, self.generator_params,
+            jnp.asarray(f), jnp.asarray(mask),
+        )
+        T = frames.shape[0]
+        audio = np.asarray(audio)[0, 0, : T * self.hop_total]
+        return audio, np.asarray(mel_db)[0, :T], np.asarray(mel_log)[0, :T]
+
+    def prepare_inputs(self, frames: np.ndarray):
+        """Host-side framing: pad to the bucket, build the validity mask.
+
+        Keeps the input dtype (uint8 passes through untouched when
+        input_norm="zscore_minmax" — the device casts and normalises).
+        """
         T = frames.shape[0]
         Tp = ((T + self.frame_bucket - 1) // self.frame_bucket) * self.frame_bucket
-        f = np.empty((1, Tp, 1) + frames.shape[1:], dtype=np.float32)
+        f = np.empty((1, Tp, 1) + frames.shape[1:], dtype=frames.dtype)
         f[0, :T, 0] = frames
         if Tp > T:
             f[0, T:, 0] = frames[-1]  # replicate-pad (masked in the BiLSTM)
         mask = np.zeros((1, Tp), dtype=np.float32)
         mask[0, :T] = 1.0
-        audio, mel_db, mel_log = self._fn(jnp.asarray(f), jnp.asarray(mask))
-        audio = np.asarray(audio)[0, 0, : T * self.hop_total]
-        return audio, np.asarray(mel_db)[0, :T], np.asarray(mel_log)[0, :T]
+        return f, mask
 
     def timed_run(self, frames: np.ndarray, sr: int = 11413, warmup: bool = True):
         """(audio, stats) with device-synchronised wall time and RTF.

@@ -169,7 +169,10 @@ def run_synthesis(args: argparse.Namespace) -> None:
         return
 
     generator, params = load_generator(args.config, args.checkpoint_file)
-    fn = jax.jit(lambda x: generator.apply({"params": params}, x))
+    import jax as _jax
+    params = _jax.device_put(params)
+    _fn = jax.jit(lambda p, x: generator.apply({"params": p}, x))
+    fn = lambda x: _fn(params, x)  # noqa: E731
 
     processed: List[Tuple[str, Dict]] = []
     for mel_file in mel_files:

@@ -114,40 +114,41 @@ def compute_gradcam(
     std = jnp.asarray(mel_std)
     band_idx = jnp.asarray(np.asarray(band_indices), dtype=jnp.int32)
 
-    feats = model.apply(variables, x, train=False, method=model.cnn_features)
+    variables = jax.device_put(variables)
+    feats = jax.jit(
+        lambda v, xx: model.apply(v, xx, train=False, method=model.cnn_features)
+    )(variables, x)
 
-    def band_power(f):
-        pred = model.apply(
-            variables, f, B, T, train=False, method=model.head_from_features
-        )
+    def band_power(v, f):
+        pred = model.apply(v, f, B, T, train=False, method=model.head_from_features)
         mel_db = pred * std + mean
         mel_power = jnp.power(10.0, mel_db / 10.0)
         return jnp.sum(jnp.take(mel_power, band_idx, axis=-1), axis=-1)  # (B, T)
 
     @jax.jit
-    def seq_cam(f):
+    def seq_cam(v, f):
         def target(f_):
-            p = band_power(f_)
+            p = band_power(v, f_)
             return jnp.mean(p) if reduction == "mean" else jnp.sum(p)
 
         grads = jax.grad(target)(f)
         return _cam_from_grads(f, grads, B, T, target_hw)
 
     @jax.jit
-    def frame_cam(f, idx):
+    def frame_cam(v, f, idx):
         def target(f_):
-            return jnp.mean(band_power(f_)[:, idx])
+            return jnp.mean(band_power(v, f_)[:, idx])
 
         grads = jax.grad(target)(f)
         return _cam_from_grads(f, grads, B, T, target_hw)
 
-    cams = np.asarray(seq_cam(feats))[0]  # (T, H, W)
+    cams = np.asarray(seq_cam(variables, feats))[0]  # (T, H, W)
 
     per_frame: Dict[int, np.ndarray] = {}
     for frame_idx in list(frame_indices or []):
         if not (0 <= frame_idx < T):
             raise IndexError(f"Frame index {frame_idx} out of range (0 <= idx < {T}).")
-        fc = np.asarray(frame_cam(feats, jnp.asarray(frame_idx)))[0]
+        fc = np.asarray(frame_cam(variables, feats, jnp.asarray(frame_idx)))[0]
         per_frame[frame_idx] = fc[frame_idx]
 
     return GradCAMOutputs(heatmaps=cams, per_frame=per_frame, band_name="unknown")
