@@ -78,20 +78,32 @@ def main() -> None:
     ).astype(np.uint8)
     seconds_audio = T_FRAMES * HOP / SR
 
-    # ---- device-compute RTF: inputs staged on device ----
+    # ---- device-compute RTF: K chained passes inside ONE executable ----
+    # A single dispatch through this environment's tunnel costs ~50 ms of
+    # host-side latency, swamping the ~35 ms of device work; running K
+    # LOOP-CARRIED passes (the mask depends on the previous output, so XLA
+    # cannot hoist the body) amortises the dispatch and measures the device.
+    K = 8
     f, mask = pipeline.prepare_inputs(frames_u8)
     f_dev = jax.device_put(jnp.asarray(f))
     m_dev = jax.device_put(jnp.asarray(mask))
-    out = pipeline._fn(pipeline.acoustic_variables, pipeline.generator_params, f_dev, m_dev)
-    jax.block_until_ready(out)  # compile + warm
+
+    def k_passes(v, p, x, m):
+        def body(i, acc):
+            audio, _, _ = pipeline._forward(v, p, x, m + acc * 1e-30)
+            return audio[0, 0, 0].astype(jnp.float32) * 1e-30 + acc
+
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+
+    kf = jax.jit(k_passes)
+    r = kf(pipeline.acoustic_variables, pipeline.generator_params, f_dev, m_dev)
+    jax.block_until_ready(r)  # compile + warm
     device_times = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        out = pipeline._fn(
-            pipeline.acoustic_variables, pipeline.generator_params, f_dev, m_dev
-        )
-        jax.block_until_ready(out)
-        device_times.append(time.perf_counter() - t0)
+        r = kf(pipeline.acoustic_variables, pipeline.generator_params, f_dev, m_dev)
+        jax.block_until_ready(r)
+        device_times.append((time.perf_counter() - t0) / K)
     rtf_device = float(np.median(device_times) / seconds_audio)
 
     # ---- end-to-end (uint8 in, waveform out, through whatever link exists) ----
