@@ -43,9 +43,9 @@ T_FRAMES = 512          # ~18.8 s of audio at 27.17 fps
 REPEATS = 5
 
 
-def build_pipeline(dtype=None) -> VideoToSpeechPipeline:
+def build_pipeline(dtype=None, lstm_impl="scan") -> VideoToSpeechPipeline:
     rng = jax.random.PRNGKey(0)
-    acoustic = AcousticModel(dtype=dtype)
+    acoustic = AcousticModel(dtype=dtype, lstm_impl=lstm_impl)
     # jitted inits: one compiled program instead of hundreds of eager ops
     variables = jax.jit(
         lambda r: acoustic.init(r, jnp.zeros((1, 2, 1, 256, 256)), train=False)
@@ -71,7 +71,10 @@ def build_pipeline(dtype=None) -> VideoToSpeechPipeline:
 def main() -> None:
     backend = jax.default_backend()
     dtype = jnp.bfloat16 if backend == "tpu" else None
-    pipeline = build_pipeline(dtype=dtype)
+    # Pallas LSTM recurrence (weights VMEM-resident) on real TPUs
+    pipeline = build_pipeline(
+        dtype=dtype, lstm_impl="pallas" if backend == "tpu" else "scan"
+    )
 
     frames_u8 = (
         np.random.default_rng(0).random((T_FRAMES, 256, 256)) * 255

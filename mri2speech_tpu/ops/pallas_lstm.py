@@ -13,10 +13,14 @@ time loop as a sequential Pallas grid with
   grids execute sequentially),
 * the (B, H) x (H, 4H) recurrent matmul on the MXU with fp32 accumulation.
 
-Supports optional trailing-padding masks with the same hold-carry semantics as
-`models/lstm.py::lstm_direction` (mask-exact bucketed inference) and reverse
-scan via index-map remapping. Forward-only (inference path); training uses the
-differentiable `lax.scan` implementation.
+Masking (trailing padding) is handled WITHOUT a mask input: padded steps get
+their gate pre-activations overwritten to (i=-30, f=+30, g=0, o=-30) before
+the kernel, which freezes c exactly (sigmoid(+30) == 1, i*g == 0) and keeps
+h == 0 through a zero-initialised padded prefix — bit-exact for all REAL
+frames in both directions (padded-position outputs are discarded by callers).
+This sidesteps small-B mask blocks that violate TPU tiling constraints.
+
+Forward-only (inference path); training uses the differentiable `lax.scan`.
 """
 from __future__ import annotations
 
@@ -25,10 +29,13 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
+
+_GATE_FREEZE = (-30.0, 30.0, 0.0, -30.0)  # (i, f, g, o) pre-activations
 
 
 def _lstm_kernel(xg_ref, whh_ref, out_ref, h_ref, c_ref):
@@ -54,30 +61,21 @@ def _lstm_kernel(xg_ref, whh_ref, out_ref, h_ref, c_ref):
     out_ref[0] = h
 
 
-def _lstm_kernel_masked(xg_ref, m_ref, whh_ref, out_ref, h_ref, c_ref):
-    t = pl.program_id(0)
+def _freeze_padded_steps(xg: Array, mask: Array, H: int) -> Array:
+    """Overwrite gate pre-activations on padded steps (mask (T, B), 1=valid).
 
-    @pl.when(t == 0)
-    def _():
-        h_ref[:] = jnp.zeros_like(h_ref)
-        c_ref[:] = jnp.zeros_like(c_ref)
-
-    H = h_ref.shape[-1]
-    gates = xg_ref[0] + jnp.dot(
-        h_ref[:], whh_ref[:], preferred_element_type=jnp.float32
-    ).astype(xg_ref.dtype)
-    i = jax.nn.sigmoid(gates[:, :H])
-    f = jax.nn.sigmoid(gates[:, H : 2 * H])
-    g = jnp.tanh(gates[:, 2 * H : 3 * H])
-    o = jax.nn.sigmoid(gates[:, 3 * H :])
-    c_new = f * c_ref[:] + i * g
-    h_new = o * jnp.tanh(c_new)
-    m = m_ref[0][:, None].astype(h_new.dtype)  # (B, 1), 1=valid
-    h = m * h_new + (1.0 - m) * h_ref[:]
-    c = m * c_new + (1.0 - m) * c_ref[:]
-    h_ref[:] = h
-    c_ref[:] = c
-    out_ref[0] = h
+    NOTE: the recurrent contribution h @ w_hh still adds to these inside the
+    kernel; with a zero carry (backward over a padded prefix) the sums stay at
+    the freeze values exactly, which is the case that matters for exactness.
+    For trailing padding in the forward direction the padded outputs are
+    discarded by callers, so their values are irrelevant.
+    """
+    row = np.concatenate(
+        [np.full(H, v, dtype=np.float32) for v in _GATE_FREEZE]
+    )
+    row_c = jnp.asarray(row, dtype=xg.dtype)
+    m = (mask > 0)[..., None]  # (T, B, 1)
+    return jnp.where(m, xg, row_c)
 
 
 @functools.partial(jax.jit, static_argnames=("reverse", "interpret"))
@@ -93,44 +91,41 @@ def lstm_recurrence_pallas(
 
     xg must already include the input projection and bias (the hoisted MXU
     matmul); w_hh is (H, 4H) with torch gate order (i, f, g, o); mask is
-    (T, B) with 1=valid (hold-carry on padded steps).
+    (T, B) with 1=valid (see module docstring for the freeze encoding).
     """
     T, B, G = xg.shape
     H = w_hh.shape[0]
     assert G == 4 * H, (G, H)
 
+    # The kernel body runs in fp32: this Mosaic version miscompiles bf16
+    # vector broadcasts in the gate activations ('vector.broadcast' element
+    # type verification failure), and fp32 costs nothing here — the recurrence
+    # is latency-bound, not bandwidth-bound, at (B, 4H) per step.
+    out_dtype = xg.dtype
+    xg = xg.astype(jnp.float32)
+
+    if mask is not None:
+        xg = _freeze_padded_steps(xg, mask, H)
+
     def idx_t(t):
         return ((T - 1 - t) if reverse else t, 0, 0)
 
-    def idx_tm(t):
-        return ((T - 1 - t) if reverse else t, 0)
-
-    in_specs = [
-        pl.BlockSpec((1, B, 4 * H), idx_t, memory_space=pltpu.VMEM),
-    ]
-    args = [xg]
-    kernel = _lstm_kernel
-    if mask is not None:
-        in_specs.append(pl.BlockSpec((1, B), idx_tm, memory_space=pltpu.VMEM))
-        args.append(mask.astype(xg.dtype))
-        kernel = _lstm_kernel_masked
-    in_specs.append(
-        pl.BlockSpec((H, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM)
-    )
-    args.append(w_hh.astype(xg.dtype))
-
-    return pl.pallas_call(
-        kernel,
+    ys = pl.pallas_call(
+        _lstm_kernel,
         grid=(T,),
-        in_specs=in_specs,
+        in_specs=[
+            pl.BlockSpec((1, B, 4 * H), idx_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec((1, B, H), idx_t, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, B, H), xg.dtype),
+        out_shape=jax.ShapeDtypeStruct((T, B, H), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((B, H), xg.dtype),
-            pltpu.VMEM((B, H), xg.dtype),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
         ],
         interpret=interpret,
-    )(*args)
+    )(xg, w_hh.astype(jnp.float32))
+    return ys.astype(out_dtype)
 
 
 def lstm_direction_pallas(
@@ -146,7 +141,9 @@ def lstm_direction_pallas(
     """Drop-in replacement for `models/lstm.py::lstm_direction` (inference).
 
     Same contract: (B, T, C) -> (B, T, H), weights in torch layout transposed
-    to (C, 4H)/(H, 4H), fused bias.
+    to (C, 4H)/(H, 4H), fused bias. With a mask, outputs at PADDED positions
+    differ from the scan implementation (zeros/frozen instead of held carry) —
+    real-frame outputs are identical; callers discard padded positions.
     """
     compute_dtype = x_seq.dtype
     xg = (
