@@ -1,0 +1,106 @@
+"""Training-step throughput benchmark on the attached chip.
+
+Measures both trainers at the reference's recipe shapes:
+* acoustic: batch 8 (micro-batch 2), ref_frames=4, 256x256 frames ->
+  optimizer steps/sec and mel frames/sec (B*T per step)
+* vocoder GAN: batch 16, segment 8400 -> D+G steps/sec and audio-seconds/sec
+
+Dispatch latency is amortised with K loop-carried steps inside one executable
+(see bench.py). Results print as JSON lines; record per-round numbers in
+docs/BENCH_NOTES.md.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mri2speech_tpu.config import default_vocoder_config
+from mri2speech_tpu.models.acoustic import AcousticModel
+from mri2speech_tpu.train.acoustic import (
+    AcousticTrainer,
+    AcousticTrainerConfig,
+    _reshape_micro,
+)
+from mri2speech_tpu.train.vocoder import VocoderTrainer, VocoderTrainerConfig
+
+
+def bench_acoustic(use_bf16: bool, repeats: int = 5) -> dict:
+    B, T, HW = 8, 4, 256
+    rng = np.random.default_rng(0)
+    batch = {
+        "mri": rng.random((B, T, 1, HW, HW)).astype(np.float32),
+        "mel": rng.standard_normal((B, T, 64)).astype(np.float32),
+        "mask": np.ones((B, T), dtype=np.float32),
+    }
+    model = AcousticModel(
+        use_checkpoint=True, dtype=jnp.bfloat16 if use_bf16 else None
+    )
+    trainer = AcousticTrainer(model, AcousticTrainerConfig(micro_batch_size=2))
+    state = trainer.init_state(batch)
+    micro = {k: jnp.asarray(v) for k, v in _reshape_micro(batch, 2).items()}
+    micro = jax.device_put(micro)
+
+    lr = jnp.float32(1e-4)
+    state, _ = trainer._train_step(state, micro, lr, jax.random.PRNGKey(0))
+    jax.block_until_ready(state.params)
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        state, metrics = trainer._train_step(state, micro, lr, jax.random.PRNGKey(i))
+        jax.block_until_ready(state.params)
+        times.append(time.perf_counter() - t0)
+    step_s = float(np.median(times))
+    return {
+        "metric": "acoustic_train_step_seconds",
+        "value": step_s,
+        "unit": "s/step",
+        "batch": B,
+        "micro_batch": 2,
+        "mel_frames_per_sec_train": B * T / step_s,
+        "dtype": "bf16" if use_bf16 else "f32",
+    }
+
+
+def bench_vocoder(repeats: int = 3) -> dict:
+    h = default_vocoder_config()
+    trainer = VocoderTrainer(h, VocoderTrainerConfig(fine_tuning=False))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    B = h["batch_size"]
+    audio = (rng.standard_normal((B, h["segment_size"])).astype(np.float32) * 0.1).clip(-1, 1)
+    batch = {"audio": audio, "mel": None}
+    state, _ = trainer.train_step(state, batch)
+    jax.block_until_ready(state.gen_params)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        state, metrics = trainer.train_step(state, batch)
+        jax.block_until_ready(state.gen_params)
+        times.append(time.perf_counter() - t0)
+    step_s = float(np.median(times))
+    return {
+        "metric": "vocoder_gan_step_seconds",
+        "value": step_s,
+        "unit": "s/step",
+        "batch": B,
+        "audio_seconds_per_sec_train": B * h["segment_size"] / h["sampling_rate"] / step_s,
+    }
+
+
+def main() -> None:
+    backend = jax.default_backend()
+    a = bench_acoustic(use_bf16=(backend == "tpu"))
+    a["backend"] = backend
+    print(json.dumps(a))
+    v = bench_vocoder()
+    v["backend"] = backend
+    print(json.dumps(v))
+
+
+if __name__ == "__main__":
+    main()
