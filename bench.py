@@ -34,7 +34,7 @@ from mri2speech_tpu.config import default_vocoder_config
 from mri2speech_tpu.infer.pipeline import VideoToSpeechPipeline
 from mri2speech_tpu.models.acoustic import AcousticModel
 from mri2speech_tpu.models.layers import fold_weight_norm
-from mri2speech_tpu.models.vocoder import Generator
+from mri2speech_tpu.models.vocoder import Generator, fuse_mrf_params
 from mri2speech_tpu.ops.scaler import MelScaler
 
 SR = 11413
@@ -56,8 +56,10 @@ def build_pipeline(dtype=None, lstm_impl="scan") -> VideoToSpeechPipeline:
     gen_params = jax.jit(
         lambda r: gen_wn.init(r, jnp.zeros((1, 64, 4)))["params"]
     )(jax.random.PRNGKey(1))
-    gen = Generator(h=h, use_weight_norm=False, dtype=dtype)
-    folded = fold_weight_norm(jax.device_get(gen_params))
+    # inference transforms: fold weight norm, fuse the MRF branches into
+    # block-diagonal dense convs (parity-tested; ~15% faster on v5e)
+    gen = Generator(h=h, use_weight_norm=False, fuse_mrf=True, dtype=dtype)
+    folded = fuse_mrf_params(fold_weight_norm(jax.device_get(gen_params)), h)
 
     scaler = MelScaler(
         mean=np.zeros(64, dtype=np.float32), std=np.ones(64, dtype=np.float32)

@@ -152,22 +152,35 @@ def build_pipeline_from_checkpoints(
     rnn_hidden: int = 640,
     dropout: float = 0.5,
     frame_bucket: int = 64,
+    fuse_mrf: bool = True,
     dtype=None,
 ) -> VideoToSpeechPipeline:
     from mri2speech_tpu.infer.vocoder_io import load_generator
+    from mri2speech_tpu.models.vocoder import Generator, fuse_mrf_params
     from mri2speech_tpu.train import checkpoint as ckpt_io
 
     scaler = MelScaler.load(scaler_json)
     if scaler.n_mels != n_mels:
         raise ValueError("Scaler mean/std length does not match n_mels")
 
-    model = AcousticModel(n_mels=n_mels, rnn_hidden=rnn_hidden, dropout=dropout, dtype=dtype)
+    model = AcousticModel(
+        n_mels=n_mels, rnn_hidden=rnn_hidden, dropout=dropout, dtype=dtype,
+        lstm_impl="pallas" if jax.default_backend() == "tpu" else "scan",
+    )
     obj = ckpt_io.load_checkpoint_raw(mri_checkpoint)
     params = obj.get("params", obj.get("model_state_dict", obj))
     batch_stats = obj.get("batch_stats", {})
     variables = {"params": params, "batch_stats": batch_stats}
 
     generator, gen_params = load_generator(hifigan_config, hifigan_checkpoint, dtype=dtype)
+    if fuse_mrf:
+        try:
+            gen_params = fuse_mrf_params(gen_params, generator.h)
+            generator = Generator(
+                h=generator.h, use_weight_norm=False, fuse_mrf=True, dtype=dtype
+            )
+        except ValueError:
+            pass  # non-'1' resblock configs fall back to the unfused stack
     return VideoToSpeechPipeline(
         model, variables, generator, gen_params, scaler, frame_bucket=frame_bucket
     )

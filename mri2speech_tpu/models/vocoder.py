@@ -98,16 +98,124 @@ class ResBlock2(nn.Module):
         return x
 
 
+class FusedMRFStage(nn.Module):
+    """All `num_branches` MRF ResBlock1 branches of one stage as grouped convs.
+
+    TPU-first inference transform: the reference runs 3 parallel ResBlocks with
+    kernels (3, 7, 11) per upsample stage and averages them (`models.py:119-125`).
+    At the late stages their channel counts (64/32) badly under-fill the MXU's
+    128 lanes. Here the branches are CONCATENATED on the channel axis and each
+    unit's two convs run as ONE grouped conv with kernels zero-padded to
+    k_max — bit-equivalent outputs (left-zero-padding a causal kernel is an
+    identity, see `fuse_mrf_params`), 3x wider matmuls, 6 convs per stage
+    instead of 18.
+    """
+
+    channels: int                  # per-branch channels
+    kernel_max: int                # max branch kernel (padded size)
+    dilation: Tuple[int, ...] = (1, 3, 5)
+    num_branches: int = 3
+    mode: str = "dense"            # "dense" (block-diagonal, fastest measured)
+    #                                or "grouped" (fewest FLOPs; XLA lowers
+    #                                grouped convs poorly on current TPUs)
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        nb, ch, k = self.num_branches, self.channels, self.kernel_max
+        groups = 1 if self.mode == "dense" else nb
+        X = jnp.tile(x, (1, 1, nb))
+        for u, d in enumerate(self.dilation):
+            xt = leaky_relu(X, LRELU_SLOPE)
+            xt = Conv1d(
+                nb * ch, k, dilation=d, padding=(d * (k - 1), 0), groups=groups,
+                dtype=self.dtype, name=f"u{u}_conv1",
+            )(xt)
+            xt = leaky_relu(xt, LRELU_SLOPE)
+            xt = Conv1d(
+                nb * ch, k, dilation=1, padding=(k - 1, 0), groups=groups,
+                dtype=self.dtype, name=f"u{u}_conv2",
+            )(xt)
+            X = X + xt
+        B, T, _ = X.shape
+        return jnp.mean(X.reshape(B, T, nb, ch), axis=2)
+
+
+def fuse_mrf_params(folded_params: dict, h: dict, mode: str = "dense") -> dict:
+    """Transform folded (plain-w) Generator params into fuse_mrf=True layout.
+
+    Kernel embedding identity: a causal conv (left pad d*(k-1), taps w[0..k))
+    equals a causal conv with kernel padded to k_max by LEADING zeros (pad
+    d*(k_max-1)): output[t] still sees x[t-(k-1)d .. t] through the trailing
+    taps. Branch kernels are then concatenated on the output-channel axis for
+    a grouped conv (one group per branch).
+    """
+    import numpy as np
+
+    kernels = list(h["resblock_kernel_sizes"])
+    dils = [tuple(d) for d in h["resblock_dilation_sizes"]]
+    if str(h["resblock"]) != "1" or any(d != dils[0] for d in dils):
+        raise ValueError("fuse_mrf supports resblock '1' with uniform dilations")
+    k_max = max(kernels)
+    nb = len(kernels)
+    num_up = len(h["upsample_rates"])
+
+    out = {k: v for k, v in folded_params.items() if not k.startswith("resblocks_")}
+    for i in range(num_up):
+        stage: dict = {}
+        for u in range(len(dils[0])):
+            for conv_list, conv_name in (("convs1", "conv1"), ("convs2", "conv2")):
+                ws, bs = [], []
+                for j, kj in enumerate(kernels):
+                    p = folded_params[f"resblocks_{i * nb + j}"][f"{conv_list}_{u}"]
+                    w = np.asarray(p["w"])  # (kj, ch, ch)
+                    pad = k_max - w.shape[0]
+                    if pad:
+                        w = np.concatenate(
+                            [np.zeros((pad,) + w.shape[1:], w.dtype), w], axis=0
+                        )
+                    ws.append(w)
+                    bs.append(np.asarray(p["b"]))
+                w_grouped = np.concatenate(ws, axis=2)  # (k_max, ch, nb*ch)
+                if mode == "dense":
+                    # block-diagonal dense kernel: 3x the FLOPs of the grouped
+                    # form, but one fully lane-packed matmul — measured ~15%
+                    # faster end-to-end than the unfused stack on v5e, while
+                    # grouped convs lower 2.7x SLOWER on current XLA
+                    ch = ws[0].shape[1]
+                    w_dense = np.zeros(
+                        (k_max, nb * ch, nb * ch), w_grouped.dtype
+                    )
+                    for j in range(nb):
+                        w_dense[:, j * ch : (j + 1) * ch, j * ch : (j + 1) * ch] = (
+                            w_grouped[:, :, j * ch : (j + 1) * ch]
+                        )
+                    w_out = w_dense
+                else:
+                    w_out = w_grouped
+                stage[f"u{u}_{conv_name}"] = {
+                    "w": w_out,
+                    "b": np.concatenate(bs, axis=0),
+                }
+        out[f"mrf_{i}"] = stage
+    return out
+
+
 class Generator(nn.Module):
     """HiFi-GAN generator (`models.py:88-140`): mel (B, n_mels, T) -> wav (B, 1, 420*T).
 
     conv_pre (plain, right-pad 6) -> 4x [leaky -> WN ConvTranspose (rates
     10,7,3,2) -> mean of 3 MRF ResBlocks] -> leaky(0.01) -> conv_post (WN,
     right-pad 6) -> tanh.
+
+    fuse_mrf=True (inference): the 3 MRF branches per stage run as grouped
+    convs (see FusedMRFStage); convert params with `fuse_mrf_params`.
     """
 
     h: dict  # AttrDict-compatible config (config_custom.json schema)
     use_weight_norm: bool = True  # False after fold_weight_norm (inference)
+    fuse_mrf: bool = False
+    fuse_mode: str = "dense"
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -135,16 +243,27 @@ class Generator(nn.Module):
                 weight_norm=self.use_weight_norm, kernel_init=normal_init(0.01),
                 dtype=self.dtype, name=f"ups_{i}",
             )(x)
-            xs = None
-            for j, (rk, rd) in enumerate(
-                zip(h["resblock_kernel_sizes"], h["resblock_dilation_sizes"])
-            ):
-                r = resblock_cls(
-                    ch, rk, tuple(rd), use_weight_norm=self.use_weight_norm,
-                    dtype=self.dtype, name=f"resblocks_{i * num_kernels + j}",
+            if self.fuse_mrf:
+                x = FusedMRFStage(
+                    ch,
+                    max(h["resblock_kernel_sizes"]),
+                    tuple(h["resblock_dilation_sizes"][0]),
+                    num_branches=num_kernels,
+                    mode=self.fuse_mode,
+                    dtype=self.dtype,
+                    name=f"mrf_{i}",
                 )(x)
-                xs = r if xs is None else xs + r
-            x = xs / num_kernels
+            else:
+                xs = None
+                for j, (rk, rd) in enumerate(
+                    zip(h["resblock_kernel_sizes"], h["resblock_dilation_sizes"])
+                ):
+                    r = resblock_cls(
+                        ch, rk, tuple(rd), use_weight_norm=self.use_weight_norm,
+                        dtype=self.dtype, name=f"resblocks_{i * num_kernels + j}",
+                    )(x)
+                    xs = r if xs is None else xs + r
+                x = xs / num_kernels
 
         x = leaky_relu(x, 0.01)  # fork quirk: default slope here (`models.py:126`)
         x = Conv1d(

@@ -176,3 +176,21 @@ def test_mpd_msd_shapes(rng):
     assert len(rs) == 3
     assert all(len(f) == 8 for f in frs)
     assert "norm_stats" in new_state  # spectral norm power-iteration state
+
+
+@pytest.mark.parametrize("mode", ["dense", "grouped"])
+def test_fused_mrf_matches_unfused(mode):
+    """fuse_mrf transforms are output-identical to the 3-branch MRF."""
+    from mri2speech_tpu.models.vocoder import fuse_mrf_params
+
+    h = _small_config()
+    g = Generator(h=dict(h))
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((1, 64, 6)), jnp.float32)
+    params = g.init(jax.random.PRNGKey(7), x)["params"]
+    y_ref = np.asarray(g.apply({"params": params}, x))
+
+    folded = L.fold_weight_norm(jax.device_get(params))
+    fused = fuse_mrf_params(folded, dict(h), mode=mode)
+    g_fused = Generator(h=dict(h), use_weight_norm=False, fuse_mrf=True, fuse_mode=mode)
+    y_fused = np.asarray(g_fused.apply({"params": fused}, x))
+    np.testing.assert_allclose(y_fused, y_ref, atol=2e-5, rtol=1e-4)
