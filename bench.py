@@ -70,6 +70,42 @@ def build_pipeline(dtype=None, lstm_impl="scan") -> VideoToSpeechPipeline:
     )
 
 
+def mel_parity_vs_torch() -> float:
+    """Mean |Δ| of our device log-mel vs torch CPU, relative to torch's
+    dynamic range — the BASELINE.md "mel L1 within 1%" metric, measured live.
+
+    Runs our `ops.mel_spectrogram` in fp32/HIGHEST on the active backend and
+    the exact torch.stft recomputation of the reference semantics on CPU.
+    """
+    try:
+        import torch
+    except Exception:
+        return float("nan")
+    from mri2speech_tpu.ops.mel import mel_filterbank, mel_spectrogram
+
+    rng = np.random.default_rng(7)
+    y = (rng.standard_normal((2, 8400)).astype(np.float32) * 0.3).clip(-1, 1)
+
+    with jax.default_matmul_precision("highest"):
+        ours = np.asarray(
+            jax.jit(
+                lambda a: mel_spectrogram(a, 2048, 64, SR, HOP, 2048, 0, 8000.0)
+            )(jnp.asarray(y))
+        )
+
+    ty = torch.from_numpy(y)
+    pad = (2048 - HOP) // 2
+    ty = torch.nn.functional.pad(ty.unsqueeze(1), (pad, pad), mode="reflect").squeeze(1)
+    spec = torch.stft(
+        ty, 2048, hop_length=HOP, win_length=2048, window=torch.hann_window(2048),
+        center=False, normalized=False, onesided=True, return_complex=True,
+    )
+    mag = torch.sqrt(spec.real ** 2 + spec.imag ** 2 + 1e-9)
+    fb = torch.from_numpy(mel_filterbank(SR, 2048, 64, 0, 8000.0))
+    ref = torch.log(torch.clamp(torch.matmul(fb, mag), min=1e-5)).numpy()
+    return float(np.abs(ours - ref).mean() / (ref.max() - ref.min() + 1e-9))
+
+
 def main() -> None:
     backend = jax.default_backend()
     dtype = jnp.bfloat16 if backend == "tpu" else None
@@ -111,6 +147,9 @@ def main() -> None:
         device_times.append((time.perf_counter() - t0) / K)
     rtf_device = float(np.median(device_times) / seconds_audio)
 
+    # ---- mel numerical parity vs the PyTorch CPU reference (BASELINE.md) ----
+    mel_l1_rel = mel_parity_vs_torch()
+
     # ---- end-to-end (uint8 in, waveform out, through whatever link exists) ----
     e2e_times = []
     for _ in range(max(2, REPEATS - 2)):
@@ -133,6 +172,7 @@ def main() -> None:
                 "device_step_seconds_median": float(np.median(device_times)),
                 "e2e_rtf_uint8": rtf_e2e,
                 "mel_frames_per_sec": T_FRAMES / float(np.median(device_times)),
+                "mel_l1_vs_torch_rel": mel_l1_rel,  # target: < 0.01 (1%)
             }
         )
     )
