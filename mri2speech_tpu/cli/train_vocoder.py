@@ -26,6 +26,19 @@ from mri2speech_tpu.data.meldata import MelDataset, get_dataset_filelist
 from mri2speech_tpu.train.vocoder import VocoderTrainer, VocoderTrainerConfig
 from mri2speech_tpu.utils.plotting import plot_spectrogram
 
+_audio_log_warned = False
+
+
+def _safe_add_audio(sw, tag, audio, step, sr) -> None:
+    """tensorboardX add_audio needs soundfile; degrade gracefully without it."""
+    global _audio_log_warned
+    try:
+        sw.add_audio(tag, audio, step, sr)
+    except ModuleNotFoundError as exc:
+        if not _audio_log_warned:
+            print(f"[TB] audio logging disabled ({exc}); scalars/figures still on")
+            _audio_log_warned = True
+
 
 def run_training(a: argparse.Namespace, h: AttrDict) -> None:
     from tensorboardX import SummaryWriter
@@ -112,11 +125,11 @@ def run_training(a: argparse.Namespace, h: AttrDict) -> None:
                     count += 1
                     if j <= 4:
                         if steps == 0:
-                            sw.add_audio(
-                                f"gt/y_{j}", item["audio"][None, :], steps, h.sampling_rate
+                            _safe_add_audio(
+                                sw, f"gt/y_{j}", item["audio"][None, :], steps, h.sampling_rate
                             )
-                        sw.add_audio(
-                            f"generated/y_hat_{j}", y_hat[None, :], steps, h.sampling_rate
+                        _safe_add_audio(
+                            sw, f"generated/y_hat_{j}", y_hat[None, :], steps, h.sampling_rate
                         )
                         mel_fig = np.asarray(
                             trainer._infer_mel(np.asarray(y_hat[None, :]))
