@@ -12,7 +12,6 @@ gated the same way the reference gates it.
 from __future__ import annotations
 
 import os
-import wave
 from pathlib import Path
 from typing import List, Optional, Tuple
 

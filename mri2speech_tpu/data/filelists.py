@@ -8,7 +8,7 @@ from __future__ import annotations
 import argparse
 import random
 from pathlib import Path
-from typing import List, Tuple
+from typing import Tuple
 
 
 def create_filelists(

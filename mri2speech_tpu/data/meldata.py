@@ -19,7 +19,6 @@ from __future__ import annotations
 import math
 import os
 import random
-from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np

@@ -8,9 +8,7 @@ jitted program over length buckets.
 from __future__ import annotations
 
 import argparse
-import functools
 import os
-from pathlib import Path
 
 import jax
 import jax.numpy as jnp

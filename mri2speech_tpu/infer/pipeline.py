@@ -17,11 +17,10 @@ TPU design — ONE fused jitted program:
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import time
 from pathlib import Path
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ import argparse
 import html
 import json
 import os
-from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
 import jax

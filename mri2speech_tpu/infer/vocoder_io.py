@@ -7,10 +7,7 @@ Equivalent of `load_hifigan` (`run_mri_video_inference.py:89-116`): load a
 from __future__ import annotations
 
 import json
-from pathlib import Path
-from typing import Optional, Tuple
-
-import jax
+from typing import Tuple
 
 from mri2speech_tpu.config import AttrDict
 from mri2speech_tpu.models.layers import fold_weight_norm

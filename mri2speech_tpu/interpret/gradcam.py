@@ -17,9 +17,9 @@ around cuDNN; `lax.scan` LSTMs differentiate in eval mode natively). All CAMs
 from __future__ import annotations
 
 import argparse
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, Iterable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -27,10 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mri2speech_tpu.models.effnetv2 import (
-    EFFNETV2_B2_FEATURE_DIM,
-    EffNetV2Features,
-)
+from mri2speech_tpu.models.effnetv2 import EffNetV2Features
 from mri2speech_tpu.models.lstm import BiLSTMSumMerge
 
 Array = jax.Array

@@ -19,7 +19,7 @@ Design notes
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import flax.linen as nn
 import jax

@@ -14,7 +14,7 @@ TPU-first design for the reference's cuDNN BiLSTM (`mri_acoustic_model.py:50-72`
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

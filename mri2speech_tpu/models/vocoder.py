@@ -34,7 +34,6 @@ from mri2speech_tpu.models.layers import (
     avg_pool1d_torch,
     leaky_relu,
     normal_init,
-    reflect_pad_time,
 )
 
 Array = jax.Array

@@ -11,7 +11,6 @@ from pathlib import Path
 from typing import Union
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 Array = jax.Array

@@ -21,7 +21,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
-from typing import Any, Dict, Iterable, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +37,7 @@ from mri2speech_tpu.losses.masked_mse_mae import (
 )
 from mri2speech_tpu.train import checkpoint as ckpt_io
 from mri2speech_tpu.train.schedule import ReduceLROnPlateau
+from mri2speech_tpu.utils.profiling import StepTimer
 
 
 class TrainState(struct.PyTreeNode):
@@ -118,6 +119,7 @@ class AcousticTrainer:
         self._train_step = jax.jit(self._train_step_fn, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_fn)
         self._rng = jax.random.PRNGKey(config.seed)
+        self.step_timer = StepTimer()
 
     # -- state -------------------------------------------------------------
     def init_state(self, sample_batch: Dict[str, np.ndarray]) -> TrainState:
@@ -232,9 +234,10 @@ class AcousticTrainer:
                 break
             micro = _reshape_micro(batch, self.cfg.micro_batch_size)
             rng = jax.random.fold_in(rng_epoch, i)
-            state, metrics = self._train_step(
-                state, micro, jnp.float32(self.sched.lr), rng
-            )
+            with self.step_timer.step():
+                state, metrics = self._train_step(
+                    state, micro, jnp.float32(self.sched.lr), rng
+                )
             steps += 1
             for k, v in metrics.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
@@ -342,6 +345,8 @@ class AcousticTrainer:
                         self.writer.add_scalar(f"band/val_{name}", va[f"band_{name}"], ep)
                 self.writer.add_scalar("lr", self.sched.lr, ep)
                 self.writer.add_scalar("perf/epoch_seconds", dt, ep)
+                for name, value in self.step_timer.summary().items():
+                    self.writer.add_scalar(f"perf/{name}", value, ep)
                 self.writer.flush()
 
             print(f"\nEpoch {ep}/{epochs}  ({dt:.1f}s)")

@@ -18,7 +18,6 @@ import glob
 import os
 from typing import Any, Optional
 
-import numpy as np
 from flax import serialization
 
 

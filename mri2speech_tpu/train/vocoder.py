@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import dataclasses
 import os
-import time
 from typing import Any, Dict, Optional, Tuple
 
 import jax

@@ -127,3 +127,20 @@ def test_plateau_scheduler_semantics():
     s2 = ReduceLROnPlateau(1.0, factor=0.5, patience=2, min_lr=0.1)
     s2.load_state_dict(state)
     assert s2.lr == s.lr
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Sharding-aware orbax save/restore path (multi-host story)."""
+    import jax as _jax
+
+    from mri2speech_tpu.train.checkpoint import restore_pytree_orbax, save_pytree_orbax
+
+    tree = {
+        "w": np.arange(12, dtype=np.float32).reshape(3, 4),
+        "nested": {"b": np.ones(5, dtype=np.float32)},
+    }
+    path = str(tmp_path / "ckpt_orbax")
+    save_pytree_orbax(path, tree)
+    restored = restore_pytree_orbax(path, _jax.tree_util.tree_map(np.zeros_like, tree))
+    np.testing.assert_array_equal(np.asarray(restored["w"]), tree["w"])
+    np.testing.assert_array_equal(np.asarray(restored["nested"]["b"]), tree["nested"]["b"])
