@@ -116,7 +116,6 @@ class Conv1d(nn.Module):
             rhs_dilation=(self.dilation,),
             dimension_numbers=("NHC", "HIO", "NHC"),
             feature_group_count=self.groups,
-            preferred_element_type=jnp.float32 if dtype == jnp.bfloat16 else None,
         )
         if b is not None:
             y = y + b.astype(y.dtype)
@@ -192,7 +191,6 @@ class ConvTranspose1d(nn.Module):
             padding=[(pad, pad)],
             lhs_dilation=(self.stride,),
             dimension_numbers=("NHC", "HIO", "NHC"),
-            preferred_element_type=jnp.float32 if dtype == jnp.bfloat16 else None,
         )
         if b is not None:
             y = y + b.astype(y.dtype)
@@ -243,7 +241,6 @@ class Conv2d(nn.Module):
             window_strides=self.strides,
             padding=[_as_pair(self.padding[0]), _as_pair(self.padding[1])],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32 if dtype == jnp.bfloat16 else None,
         )
         if b is not None:
             y = y + b.astype(y.dtype)

@@ -64,6 +64,7 @@ def _adabelief(lr: float) -> optax.GradientTransformation:
 class VocoderTrainerConfig:
     fine_tuning: bool = False
     seed: int = 1234
+    bf16: bool = False  # bfloat16 compute for G/D forwards (fp32 params/losses)
 
 
 class VocoderTrainer:
@@ -72,9 +73,10 @@ class VocoderTrainer:
         self.h = dict(h)
         self.cfg = config
         self.mesh = mesh
-        self.generator = Generator(h=self.h)
-        self.mpd = MultiPeriodDiscriminator()
-        self.msd = MultiScaleDiscriminator()
+        dtype = jnp.bfloat16 if config.bf16 else None
+        self.generator = Generator(h=self.h, dtype=dtype)
+        self.mpd = MultiPeriodDiscriminator(dtype=dtype)
+        self.msd = MultiScaleDiscriminator(dtype=dtype)
         self.tx_g = _adabelief(self.h["learning_rate"])
         self.tx_d = _adabelief(self.h["learning_rate"])
         self.sched_g = ReduceLROnPlateau(self.h["learning_rate"], factor=0.1, patience=4)

@@ -71,3 +71,23 @@ def test_finetuning_step_uses_provided_mel(trainer):
     mel = rng.standard_normal((2, 64, 20)).astype(np.float32)
     state, metrics = t.train_step(state, {"audio": audio, "mel": mel})
     assert np.isfinite(float(metrics["loss_gen_all"]))
+
+
+def test_gan_train_step_bf16():
+    """bf16 forwards with fp32 losses/optimizer stay finite (SURVEY hard-part:
+    the reference needs an fp16 GradScaler; bf16 on TPU needs none)."""
+    import jax.numpy as jnp
+
+    t = VocoderTrainer(
+        default_vocoder_config(upsample_initial_channel=32, segment_size=8400),
+        VocoderTrainerConfig(bf16=True),
+    )
+    state = t.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal((2, 8400)).astype(np.float32) * 0.1).clip(-1, 1)
+    state, metrics = t.train_step(state, {"audio": audio, "mel": None})
+    assert np.isfinite(float(metrics["loss_gen_all"]))
+    assert np.isfinite(float(metrics["loss_disc_all"]))
+    # params remain fp32
+    leaf = jax.tree_util.tree_leaves(state.gen_params)[0]
+    assert leaf.dtype == jnp.float32
