@@ -66,9 +66,9 @@ def bench_acoustic(use_bf16: bool, repeats: int = 5) -> dict:
     }
 
 
-def bench_vocoder(repeats: int = 3) -> dict:
+def bench_vocoder(repeats: int = 3, bf16: bool = False) -> dict:
     h = default_vocoder_config()
-    trainer = VocoderTrainer(h, VocoderTrainerConfig(fine_tuning=False))
+    trainer = VocoderTrainer(h, VocoderTrainerConfig(fine_tuning=False, bf16=bf16))
     state = trainer.init_state(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     B = h["batch_size"]
@@ -88,6 +88,7 @@ def bench_vocoder(repeats: int = 3) -> dict:
         "value": step_s,
         "unit": "s/step",
         "batch": B,
+        "dtype": "bf16" if bf16 else "f32",
         "audio_seconds_per_sec_train": B * h["segment_size"] / h["sampling_rate"] / step_s,
     }
 
@@ -100,6 +101,10 @@ def main() -> None:
     v = bench_vocoder()
     v["backend"] = backend
     print(json.dumps(v))
+    if backend == "tpu":
+        vb = bench_vocoder(bf16=True)
+        vb["backend"] = backend
+        print(json.dumps(vb))
 
 
 if __name__ == "__main__":
