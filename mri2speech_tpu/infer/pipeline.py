@@ -152,6 +152,8 @@ def build_pipeline_from_checkpoints(
     dropout: float = 0.5,
     frame_bucket: int = 64,
     fuse_mrf: bool = True,
+    cnn_spec=None,
+    cnn_stem=None,
     dtype=None,
 ) -> VideoToSpeechPipeline:
     from mri2speech_tpu.infer.vocoder_io import load_generator
@@ -164,6 +166,7 @@ def build_pipeline_from_checkpoints(
 
     model = AcousticModel(
         n_mels=n_mels, rnn_hidden=rnn_hidden, dropout=dropout, dtype=dtype,
+        cnn_spec=cnn_spec, cnn_stem=cnn_stem,
         lstm_impl="pallas" if jax.default_backend() == "tpu" else "scan",
     )
     obj = ckpt_io.load_checkpoint_raw(mri_checkpoint)

@@ -260,3 +260,37 @@ def test_vardataset(tmp_path):
     assert item["mri"].shape == (8, 1, 16, 16)
     item_b = ds_fixed[1]
     assert item_b["mask"].sum() == 7  # 7 valid + 1 padded
+
+
+def test_build_pipeline_from_checkpoints_roundtrip(tmp_path, tiny_setup):
+    """The CLI path: checkpoint files on disk -> pipeline -> audio."""
+    import json as _json
+
+    from mri2speech_tpu.infer.pipeline import build_pipeline_from_checkpoints
+    from mri2speech_tpu.train import checkpoint as ckpt_io
+
+    acoustic, variables, gen, gen_params, scaler, h = tiny_setup
+    ckpt_io.save_checkpoint(
+        str(tmp_path / "acoustic.ckpt"),
+        {
+            "params": jax.device_get(variables["params"]),
+            "batch_stats": jax.device_get(variables.get("batch_stats", {})),
+        },
+    )
+    gen_wn = Generator(h=h)
+    params_wn = gen_wn.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 4)))["params"]
+    ckpt_io.save_checkpoint(
+        str(tmp_path / "g_00000001"), {"generator": jax.device_get(params_wn)}
+    )
+    scaler.save(tmp_path / "scaler.json")
+    (tmp_path / "config.json").write_text(_json.dumps(h))
+
+    pipe = build_pipeline_from_checkpoints(
+        str(tmp_path / "acoustic.ckpt"), str(tmp_path / "scaler.json"),
+        str(tmp_path / "config.json"), str(tmp_path / "g_00000001"),
+        rnn_hidden=16, frame_bucket=8, cnn_spec=TINY_SPEC, cnn_stem=8,
+    )
+    frames = np.random.default_rng(9).random((6, 64, 64)).astype(np.float32)
+    audio, mel_db, _ = pipe(frames)
+    assert audio.shape == (6 * 420,)
+    assert np.all(np.isfinite(audio))
