@@ -121,19 +121,31 @@ class BiLSTMSumMerge(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
 
-        if self.impl == "pallas":
-            from mri2speech_tpu.ops.pallas_lstm import lstm_direction_pallas
+        params = {}
+        for direction in ("fwd", "bwd"):
+            params[f"w_ih_{direction}"] = self.param(f"w_ih_{direction}", init, (C, 4 * H))
+            params[f"w_hh_{direction}"] = self.param(f"w_hh_{direction}", init, (H, 4 * H))
+            # torch keeps separate b_ih and b_hh; they only ever appear summed,
+            # so a single fused bias is stored (converter adds them).
+            params[f"b_{direction}"] = self.param(f"b_{direction}", init, (4 * H,))
 
-            run = lambda *a, **k: lstm_direction_pallas(*a, **k)  # noqa: E731
-        else:
-            run = lambda *a, **k: lstm_direction(*a, unroll=self.unroll, **k)  # noqa: E731
+        if self.impl == "pallas":
+            # fused bidirectional kernel: both recurrences share one grid
+            from mri2speech_tpu.ops.pallas_lstm import bilstm_sum_pallas
+
+            return bilstm_sum_pallas(x, params, mask=mask)
 
         outs = []
         for direction, reverse in (("fwd", False), ("bwd", True)):
-            w_ih = self.param(f"w_ih_{direction}", init, (C, 4 * H))
-            w_hh = self.param(f"w_hh_{direction}", init, (H, 4 * H))
-            # torch keeps separate b_ih and b_hh; they only ever appear summed,
-            # so a single fused bias is stored (converter adds them).
-            b = self.param(f"b_{direction}", init, (4 * H,))
-            outs.append(run(x, w_ih, w_hh, b, reverse=reverse, mask=mask))
+            outs.append(
+                lstm_direction(
+                    x,
+                    params[f"w_ih_{direction}"],
+                    params[f"w_hh_{direction}"],
+                    params[f"b_{direction}"],
+                    reverse=reverse,
+                    unroll=self.unroll,
+                    mask=mask,
+                )
+            )
         return outs[0] + outs[1]

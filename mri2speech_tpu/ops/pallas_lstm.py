@@ -128,6 +128,131 @@ def lstm_recurrence_pallas(
     return ys.astype(out_dtype)
 
 
+def _bilstm_kernel(xgf_ref, xgb_ref, whhf_ref, whhb_ref, outf_ref, outb_ref,
+                   hf_ref, cf_ref, hb_ref, cb_ref):
+    """Both directions in ONE sequential grid: grid step t advances the
+    forward cell at time t and the backward cell at time T-1-t (block index
+    maps deliver the right slices). Halves the number of sequential kernel
+    steps vs two separate scans — the recurrence is per-step-latency bound."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        hf_ref[:] = jnp.zeros_like(hf_ref)
+        cf_ref[:] = jnp.zeros_like(cf_ref)
+        hb_ref[:] = jnp.zeros_like(hb_ref)
+        cb_ref[:] = jnp.zeros_like(cb_ref)
+
+    H = hf_ref.shape[-1]
+
+    def cell(xg, h_ref, c_ref, whh_ref, out_ref):
+        gates = xg + jnp.dot(
+            h_ref[:], whh_ref[:], preferred_element_type=jnp.float32
+        ).astype(xg.dtype)
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H : 2 * H])
+        g = jnp.tanh(gates[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H :])
+        c = f * c_ref[:] + i * g
+        h = o * jnp.tanh(c)
+        h_ref[:] = h
+        c_ref[:] = c
+        out_ref[0] = h
+
+    cell(xgf_ref[0], hf_ref, cf_ref, whhf_ref, outf_ref)
+    cell(xgb_ref[0], hb_ref, cb_ref, whhb_ref, outb_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bilstm_recurrence_pallas(
+    xg_fwd: Array,
+    xg_bwd: Array,
+    w_hh_fwd: Array,
+    w_hh_bwd: Array,
+    mask: Optional[Array] = None,
+    *,
+    interpret: bool = False,
+):
+    """Fused bidirectional time loop: (T, B, 4H) x2 -> ((T,B,H) fwd, (T,B,H) bwd).
+
+    Same per-direction semantics as :func:`lstm_recurrence_pallas`; masking via
+    the gate-freeze encoding applied to both pre-activation streams.
+    """
+    T, B, G = xg_fwd.shape
+    H = w_hh_fwd.shape[0]
+    assert G == 4 * H
+
+    out_dtype = xg_fwd.dtype
+    xg_fwd = xg_fwd.astype(jnp.float32)
+    xg_bwd = xg_bwd.astype(jnp.float32)
+    if mask is not None:
+        xg_fwd = _freeze_padded_steps(xg_fwd, mask, H)
+        xg_bwd = _freeze_padded_steps(xg_bwd, mask, H)
+
+    fwd_idx = lambda t: (t, 0, 0)                  # noqa: E731
+    bwd_idx = lambda t: (T - 1 - t, 0, 0)          # noqa: E731
+    w_idx = lambda t: (0, 0)                       # noqa: E731
+
+    ys_f, ys_b = pl.pallas_call(
+        _bilstm_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, 4 * H), fwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 4 * H), bwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), w_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), w_idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, B, H), fwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), bwd_idx, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xg_fwd, xg_bwd, w_hh_fwd.astype(jnp.float32), w_hh_bwd.astype(jnp.float32))
+    return ys_f.astype(out_dtype), ys_b.astype(out_dtype)
+
+
+def bilstm_sum_pallas(
+    x_seq: Array,
+    params: dict,
+    mask: Optional[Array] = None,
+    *,
+    interpret: bool = False,
+) -> Array:
+    """Full fused BiLSTM-sum forward: (B, T, C) -> (B, T, H).
+
+    params: {w_ih_fwd, w_hh_fwd, b_fwd, w_ih_bwd, w_hh_bwd, b_bwd} in the
+    `models/lstm.py` layout. Both input projections run as one hoisted matmul
+    pair; the recurrences share one Pallas grid.
+    """
+    dt = x_seq.dtype
+    xg_f = jnp.einsum("btc,cg->btg", x_seq, params["w_ih_fwd"].astype(dt)) + params[
+        "b_fwd"
+    ].astype(dt)
+    xg_b = jnp.einsum("btc,cg->btg", x_seq, params["w_ih_bwd"].astype(dt)) + params[
+        "b_bwd"
+    ].astype(dt)
+    m = None if mask is None else jnp.swapaxes(mask, 0, 1)
+    ys_f, ys_b = bilstm_recurrence_pallas(
+        jnp.swapaxes(xg_f, 0, 1),
+        jnp.swapaxes(xg_b, 0, 1),
+        params["w_hh_fwd"],
+        params["w_hh_bwd"],
+        m,
+        interpret=interpret,
+    )
+    return jnp.swapaxes(ys_f + ys_b, 0, 1)
+
+
 def lstm_direction_pallas(
     x_seq: Array,
     w_ih: Array,

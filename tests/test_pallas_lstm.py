@@ -51,3 +51,46 @@ def test_pallas_lstm_masked_matches_scan(rng):
         # the mask as frozen gate pre-activations; padded outputs differ from
         # the scan's held carry and are discarded by all callers)
         np.testing.assert_allclose(out[:, :5], ref[:, :5], atol=1e-5, rtol=1e-4)
+
+
+def test_fused_bilstm_matches_scan(rng):
+    from mri2speech_tpu.ops.pallas_lstm import bilstm_sum_pallas
+
+    B, T, C, H = 2, 7, 6, 8
+    x = rng.standard_normal((B, T, C)).astype(np.float32)
+    params = {}
+    for d in ("fwd", "bwd"):
+        params[f"w_ih_{d}"] = (rng.standard_normal((C, 4 * H)) * 0.2).astype(np.float32)
+        params[f"w_hh_{d}"] = (rng.standard_normal((H, 4 * H)) * 0.2).astype(np.float32)
+        params[f"b_{d}"] = (rng.standard_normal(4 * H) * 0.1).astype(np.float32)
+
+    ref = np.asarray(
+        lstm_direction(jnp.asarray(x), params["w_ih_fwd"], params["w_hh_fwd"],
+                       params["b_fwd"], reverse=False)
+        + lstm_direction(jnp.asarray(x), params["w_ih_bwd"], params["w_hh_bwd"],
+                         params["b_bwd"], reverse=True)
+    )
+    out = np.asarray(
+        bilstm_sum_pallas(
+            jnp.asarray(x), {k: jnp.asarray(v) for k, v in params.items()},
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-4)
+
+    # masked: real frames identical
+    mask = np.ones((B, T), np.float32)
+    mask[:, 5:] = 0.0
+    ref_m = np.asarray(
+        lstm_direction(jnp.asarray(x), params["w_ih_fwd"], params["w_hh_fwd"],
+                       params["b_fwd"], reverse=False, mask=jnp.asarray(mask))
+        + lstm_direction(jnp.asarray(x), params["w_ih_bwd"], params["w_hh_bwd"],
+                         params["b_bwd"], reverse=True, mask=jnp.asarray(mask))
+    )
+    out_m = np.asarray(
+        bilstm_sum_pallas(
+            jnp.asarray(x), {k: jnp.asarray(v) for k, v in params.items()},
+            mask=jnp.asarray(mask), interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out_m[:, :5], ref_m[:, :5], atol=1e-5, rtol=1e-4)
