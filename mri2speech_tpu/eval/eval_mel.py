@@ -140,16 +140,38 @@ def main() -> None:
     p.add_argument("--split", default="val", choices=["val", "test"])
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--ref_frames", type=int, default=4)
+    p.add_argument(
+        "--dataset", default="pairs", choices=["pairs", "var"],
+        help="'pairs' = fixed ref_frames windows; 'var' = full variable-length "
+             "utterances over <stem>_video/_audio.npy (the reference eval's "
+             "MRIMelDataset path, `eval_mel.py:85-101`)",
+    )
+    p.add_argument("--seq_len", type=int, default=None,
+                   help="Optional fixed length for --dataset var.")
     p.add_argument("--stats_json", default=None)
     p.add_argument("--sr", type=int, default=11413)  # fixed: pipeline-consistent
     p.add_argument("--n_mels", type=int, default=64)
     p.add_argument("--rnn_hidden", type=int, default=640)
     args = p.parse_args()
 
-    ds = FixedLenPairDataset(args.processed_dir, ref_frames=args.ref_frames)
-    tr, va, te = split_indices(len(ds), seed=42)
-    subset = va if args.split == "val" else te
-    loader = BatchLoader(ds, subset, args.batch_size, shuffle=False, drop_last=False)
+    if args.dataset == "var":
+        from mri2speech_tpu.data.vardataset import MRIMelDataset, collate_pad
+
+        vds = MRIMelDataset(args.processed_dir, sequence_length=args.seq_len)
+        tr, va, te = split_indices(len(vds), seed=42)
+        subset = va if args.split == "val" else te
+
+        def var_batches():
+            for s in range(0, len(subset), args.batch_size):
+                items = [vds[int(i)] for i in subset[s : s + args.batch_size]]
+                yield collate_pad(items, pad_to_multiple=8)
+
+        loader = list(var_batches())
+    else:
+        ds = FixedLenPairDataset(args.processed_dir, ref_frames=args.ref_frames)
+        tr, va, te = split_indices(len(ds), seed=42)
+        subset = va if args.split == "val" else te
+        loader = BatchLoader(ds, subset, args.batch_size, shuffle=False, drop_last=False)
 
     model = AcousticModel(n_mels=args.n_mels, rnn_hidden=args.rnn_hidden)
     obj = ckpt_io.load_checkpoint_raw(args.ckpt)
