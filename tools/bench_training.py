@@ -16,6 +16,13 @@ import time
 
 import numpy as np
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_repo = str(_Path(__file__).resolve().parents[1])
+if _repo not in _sys.path:
+    _sys.path.insert(0, _repo)
+
 import jax
 import jax.numpy as jnp
 

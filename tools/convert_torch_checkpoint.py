@@ -236,6 +236,14 @@ def convert_acoustic(state: Dict[str, Any]):
 # ---------------------------------------------------------------------------
 
 def main() -> None:
+    import sys
+    from pathlib import Path
+
+    # runnable as `python tools/convert_torch_checkpoint.py` from anywhere
+    repo_root = str(Path(__file__).resolve().parents[1])
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
+
     import torch
 
     from mri2speech_tpu.train import checkpoint as ckpt_io
