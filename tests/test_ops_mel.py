@@ -196,3 +196,38 @@ def test_align_by_hop():
     assert M.align_by_hop(100, 420 * 50, 420) == 50
     assert M.align_by_hop(30, 420 * 50, 420) == 30
     assert M.align_by_hop(30, 419, 420) == 0
+
+
+def test_stft_window_shorter_than_nfft_matches_torch(rng):
+    """win_size < n_fft: the window is zero-padded symmetrically (torch.stft)."""
+    y = rng.standard_normal((1, 4000)).astype(np.float32) * 0.3
+    n_fft, hop, win = 1024, 256, 512
+    ours = np.asarray(
+        M.stft_magnitude(jnp.asarray(y), n_fft, hop, win, magnitude_eps=1e-9, method="fft")
+    )
+    spec = torch.stft(
+        torch.from_numpy(y), n_fft, hop_length=hop, win_length=win,
+        window=torch.hann_window(win), center=False, normalized=False,
+        onesided=True, return_complex=True,
+    )
+    ref = torch.sqrt(spec.real ** 2 + spec.imag ** 2 + 1e-9).numpy()
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_stft_center_true_matches_torch(rng):
+    y = rng.standard_normal((1, 3000)).astype(np.float32) * 0.3
+    n_fft, hop = 512, 128
+    ours = np.asarray(
+        M.stft_magnitude(
+            jnp.asarray(y), n_fft, hop, n_fft, center=True, magnitude_eps=1e-9, method="fft"
+        )
+    )
+    spec = torch.stft(
+        torch.from_numpy(y), n_fft, hop_length=hop, win_length=n_fft,
+        window=torch.hann_window(n_fft), center=True, pad_mode="reflect",
+        normalized=False, onesided=True, return_complex=True,
+    )
+    ref = torch.sqrt(spec.real ** 2 + spec.imag ** 2 + 1e-9).numpy()
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
