@@ -156,6 +156,7 @@ class ConvTranspose1d(nn.Module):
     padding: int = 0
     weight_norm: bool = True
     use_bias: bool = True
+    polyphase: bool = False  # inference fast path: phase-decomposed dense conv
     kernel_init: Optional[object] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -182,6 +183,10 @@ class ConvTranspose1d(nn.Module):
 
         dtype = self.dtype or x.dtype
         x = x.astype(dtype)
+        if self.polyphase:
+            return conv_transpose_polyphase(
+                x, w.astype(dtype), self.stride, self.padding, bias=b
+            ).astype(dtype)
         w = jnp.flip(w, axis=0).astype(dtype)
         pad = k - 1 - self.padding
         y = jax.lax.conv_general_dilated(
@@ -195,6 +200,56 @@ class ConvTranspose1d(nn.Module):
         if b is not None:
             y = y + b.astype(y.dtype)
         return y.astype(dtype)
+
+
+def conv_transpose_polyphase(
+    x: Array, w: Array, stride: int, padding: int, bias: Optional[Array] = None
+) -> Array:
+    """torch-ConvTranspose1d-equivalent via polyphase decomposition.
+
+    x: (B, T, in); w: (k, in, out) (the same layout ConvTranspose1d stores);
+    returns (B, T*stride - 2*padding + ... ) — for the generator's configs
+    (out_len == T*stride) this is exact.
+
+    Instead of lhs-dilating the input (s-1 zeros between samples — 90% wasted
+    multiplies if the backend materialises them), each output phase
+    r = t mod s is one small dense conv over the UNDILATED input:
+        out[s q + r, o] = sum_a x[q - a, i] W[i, o, s a + r + p]
+    All s phases run as ONE conv with s*out output channels, then interleave.
+    """
+    k, c_in, c_out = w.shape
+    s, p = stride, padding
+    # global tap range over all phases
+    a_lo = -(-(0 - (s - 1) - p) // s)  # ceil
+    a_hi = (k - 1 - p) // s            # floor
+    K = a_hi - a_lo + 1
+
+    # packed kernel W'[m, i, (r, o)] = W[i, o, s*(a_hi - m) + r + p] or 0
+    wk = jnp.swapaxes(w, 0, 2)  # (out, in, k) view -> easier gather below
+    m_idx = np.arange(K)
+    r_idx = np.arange(s)
+    j = s * (a_hi - m_idx[:, None]) + r_idx[None, :] + p  # (K, s)
+    valid = (j >= 0) & (j < k)
+    j_clip = np.clip(j, 0, k - 1)
+    # gather: (K, s, in, out)
+    packed = jnp.transpose(wk[:, :, j_clip], (2, 3, 1, 0))
+    packed = packed * jnp.asarray(valid, packed.dtype)[:, :, None, None]
+    packed = packed.reshape(K, s, c_in, c_out).transpose(0, 2, 1, 3).reshape(
+        K, c_in, s * c_out
+    )
+
+    y = jax.lax.conv_general_dilated(
+        x,
+        packed,
+        window_strides=(1,),
+        padding=[(a_hi, max(0, -a_lo))],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )  # (B, T', s*out)
+    B, Tq, _ = y.shape
+    y = y.reshape(B, Tq, s, c_out).reshape(B, Tq * s, c_out)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
 
 
 class Conv2d(nn.Module):

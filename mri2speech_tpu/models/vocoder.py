@@ -240,6 +240,7 @@ class Generator(nn.Module):
             x = ConvTranspose1d(
                 ch, k, stride=u, padding=(k - u) // 2,
                 weight_norm=self.use_weight_norm, kernel_init=normal_init(0.01),
+                polyphase=self.fuse_mrf,  # inference-transformed path
                 dtype=self.dtype, name=f"ups_{i}",
             )(x)
             if self.fuse_mrf:

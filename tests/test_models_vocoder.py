@@ -194,3 +194,23 @@ def test_fused_mrf_matches_unfused(mode):
     g_fused = Generator(h=dict(h), use_weight_norm=False, fuse_mrf=True, fuse_mode=mode)
     y_fused = np.asarray(g_fused.apply({"params": fused}, x))
     np.testing.assert_allclose(y_fused, y_ref, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("k,u", [(20, 10), (15, 7), (7, 3), (4, 2)])
+def test_polyphase_conv_transpose_matches_module(rng, k, u):
+    """Polyphase decomposition == the lhs-dilated ConvTranspose (and torch)."""
+    B, Cin, Cout, T = 2, 6, 4, 12
+    x = rng.standard_normal((B, T, Cin)).astype(np.float32)
+    w = (rng.standard_normal((k, Cin, Cout)) * 0.3).astype(np.float32)
+    b = rng.standard_normal(Cout).astype(np.float32)
+
+    m = L.ConvTranspose1d(Cout, k, stride=u, padding=(k - u) // 2, weight_norm=False)
+    ref = np.asarray(m.apply({"params": {"w": jnp.asarray(w), "b": jnp.asarray(b)}},
+                             jnp.asarray(x)))
+    out = np.asarray(
+        L.conv_transpose_polyphase(
+            jnp.asarray(x), jnp.asarray(w), u, (k - u) // 2, bias=jnp.asarray(b)
+        )
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
