@@ -1,0 +1,389 @@
+"""Whole-model output parity against the ACTUAL reference torch models.
+
+Unlike the layer-level goldens in `test_models_vocoder.py`, these tests import
+the genuine upstream code from /root/reference (`models.py`,
+`train_mri_acoustic_model.py`, `mri_acoustic_model.py`), instantiate the fork's
+modules with real torch inits, convert their real `state_dict()` through
+`tools/convert_torch_checkpoint.py`, and assert output equality of the JAX
+modules — end-to-end through every re-expressed quirk (causal-conv rewrite of
+pad-then-trim, weight-norm folding, MRF fusion, polyphase transposed convs,
+spectral-norm power iteration, fused LSTM biases).
+
+Reference anchors: `models.py:88-311`, `utils.py:22-35`,
+`train_mri_acoustic_model.py:57-170`, `mri_acoustic_model.py:50-72`.
+"""
+import importlib.util
+import json
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from mri2speech_tpu.models import layers as L
+from mri2speech_tpu.models.lstm import BiLSTMSumMerge
+from mri2speech_tpu.models.vocoder import (
+    Generator,
+    MultiPeriodDiscriminator,
+    MultiScaleDiscriminator,
+    fuse_mrf_params,
+)
+
+REF = "/root/reference"
+_TOOLS = "/root/repo/tools"
+if _TOOLS not in sys.path:  # for convert_torch_checkpoint imports below
+    sys.path.insert(0, _TOOLS)
+
+
+def _load_ref_module(name, path):
+    """Import a reference source file under its own top-level name."""
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _load_ref_source(name, path):
+    """exec a reference source file that is NOT valid UTF-8.
+
+    The mri2speech_code files carry CP932 (Shift-JIS) Japanese comments with no
+    encoding cookie, so the normal import machinery rejects them; decode
+    leniently and exec — only comments/docstrings are affected.
+    """
+    if name in sys.modules:
+        return sys.modules[name]
+    with open(path, "rb") as f:
+        raw = f.read()
+    try:
+        src = raw.decode("utf-8-sig")  # -sig: dataset_fixedlen.py has a BOM
+    except UnicodeDecodeError:
+        src = raw.decode("cp932", errors="replace")
+    mod = types.ModuleType(name)
+    mod.__file__ = path
+    sys.modules[name] = mod
+    exec(compile(src, path, "exec"), mod.__dict__)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_models():
+    """/root/reference/models.py (needs its sibling utils.py as `utils`)."""
+    _load_ref_module("utils", f"{REF}/utils.py")
+    return _load_ref_module("models", f"{REF}/models.py")
+
+
+@pytest.fixture(scope="module")
+def ref_trainer():
+    """Reference train_mri_acoustic_model.py (source of MaskedMSEMAE).
+
+    Its import chain pulls `timm` (absent here) via mri_acoustic_model; the
+    stub below only has to satisfy `from timm import create_model` — the
+    MaskedMSEMAE / BiLSTMSumMerge classes under test never touch it.
+    """
+    if "timm" not in sys.modules:
+        timm_stub = types.ModuleType("timm")
+
+        def _no_timm(*a, **k):  # pragma: no cover - guard only
+            raise RuntimeError("timm is not installed in this environment")
+
+        timm_stub.create_model = _no_timm
+        sys.modules["timm"] = timm_stub
+    code_dir = f"{REF}/mri2speech_code"
+    # pre-load the trainer's sibling imports under their plain names
+    _load_ref_source("mri_acoustic_model", f"{code_dir}/mri_acoustic_model.py")
+    _load_ref_source("dataset_fixedlen", f"{code_dir}/dataset_fixedlen.py")
+    return _load_ref_source(
+        "ref_train_mri_acoustic_model", f"{code_dir}/train_mri_acoustic_model.py"
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_acoustic(ref_trainer):
+    """mri_acoustic_model.py (imported by the trainer fixture's sys.path trick)."""
+    return sys.modules["mri_acoustic_model"]
+
+
+@pytest.fixture(scope="module")
+def ref_config():
+    with open(f"{REF}/config_custom.json", "r", encoding="utf-8") as f:
+        h = json.load(f)
+
+    class _AD(dict):
+        def __getattr__(self, k):
+            return self[k]
+
+    return _AD(h)
+
+
+# ---------------------------------------------------------------------------
+# Generator: all four inference modes against the real torch fork
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def generator_case(ref_models, ref_config):
+    """Full-size (512-channel) torch Generator + its converted JAX params."""
+    from convert_torch_checkpoint import convert_generator
+
+    torch.manual_seed(1234)
+    gen_t = ref_models.Generator(ref_config)
+    gen_t.eval()
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((1, 64, 5)).astype(np.float32)
+    with torch.no_grad():
+        y_ref = gen_t(torch.from_numpy(x)).numpy()
+    assert y_ref.shape == (1, 1, 5 * 420)
+    params = convert_generator(gen_t.state_dict())
+    return gen_t, x, y_ref, params
+
+
+def _assert_close(ours, ref, atol):
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=atol, rtol=0)
+
+
+def test_generator_parity_weight_norm(generator_case, ref_config):
+    _, x, y_ref, params = generator_case
+    g = Generator(h=dict(ref_config), use_weight_norm=True)
+    y = g.apply({"params": params}, jnp.asarray(x))
+    _assert_close(y, y_ref, atol=2e-4)
+
+
+def test_generator_parity_folded(generator_case, ref_config):
+    """fold_weight_norm == torch remove_weight_norm, proven on real weights."""
+    _, x, y_ref, params = generator_case
+    folded = L.fold_weight_norm(params)
+    g = Generator(h=dict(ref_config), use_weight_norm=False)
+    y = g.apply({"params": folded}, jnp.asarray(x))
+    _assert_close(y, y_ref, atol=2e-4)
+
+
+def test_torch_remove_weight_norm_convert_matches_folded(generator_case, ref_config):
+    """Converting a torch checkpoint AFTER remove_weight_norm (plain 'weight'
+    keys) lands on the same params as fold_weight_norm on the WN checkpoint.
+
+    Fork bug reproduced here: `Generator.remove_weight_norm` (`models.py:133-140`)
+    raises on conv_pre — the fork's conv_pre is a PLAIN conv (`models.py:94`),
+    unlike upstream HiFi-GAN — so conv_post is never reached and stays
+    weight-normed. The reference inference scripts therefore do "best-effort"
+    removal (`run_mri_video_inference.py:99-116`, `mel_to_audio_synthesis.py:24`);
+    we mirror that, and fold the leftover conv_post on our side.
+    """
+    gen_t, x, y_ref, params = generator_case
+    from convert_torch_checkpoint import convert_generator
+
+    try:
+        gen_t.remove_weight_norm()
+    except ValueError:
+        pass  # conv_pre is not weight-normed in this fork (see docstring)
+    state = gen_t.state_dict()
+    assert "conv_post.weight_v" in state  # removal stopped before conv_post
+    params_rwn = L.fold_weight_norm(convert_generator(state))
+    folded = L.fold_weight_norm(params)
+    flat_a = jax.tree_util.tree_leaves_with_path(params_rwn)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(folded))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_allclose(leaf, flat_b[path], atol=1e-6, rtol=1e-6)
+    g = Generator(h=dict(ref_config), use_weight_norm=False)
+    y = g.apply({"params": params_rwn}, jnp.asarray(x))
+    _assert_close(y, y_ref, atol=2e-4)
+
+
+@pytest.mark.parametrize("mode", ["dense", "grouped"])
+def test_generator_parity_fused_polyphase(generator_case, ref_config, mode):
+    """fuse_mrf (grouped/dense MRF) + polyphase ConvTranspose vs real torch."""
+    _, x, y_ref, params = generator_case
+    folded = L.fold_weight_norm(jax.device_get(params))
+    fused = fuse_mrf_params(folded, dict(ref_config), mode=mode)
+    g = Generator(h=dict(ref_config), use_weight_norm=False, fuse_mrf=True, fuse_mode=mode)
+    y = g.apply({"params": fused}, jnp.asarray(x))
+    _assert_close(y, y_ref, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Discriminators against the real torch fork
+# ---------------------------------------------------------------------------
+
+def test_mpd_parity(ref_models):
+    from convert_torch_checkpoint import convert_mpd
+
+    torch.manual_seed(5)
+    mpd_t = ref_models.MultiPeriodDiscriminator()
+    mpd_t.eval()
+    rng = np.random.default_rng(11)
+    y = rng.standard_normal((2, 1, 4200)).astype(np.float32)
+    y_hat = rng.standard_normal((2, 1, 4200)).astype(np.float32)
+    with torch.no_grad():
+        rs_t, gs_t, frs_t, fgs_t = mpd_t(torch.from_numpy(y), torch.from_numpy(y_hat))
+
+    params = convert_mpd(mpd_t.state_dict())
+    mpd = MultiPeriodDiscriminator()
+    rs, gs, frs, fgs = mpd.apply({"params": params}, jnp.asarray(y), jnp.asarray(y_hat))
+
+    assert len(rs) == len(rs_t) == 5
+    for ours, theirs in zip(rs + gs, rs_t + gs_t):
+        np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=5e-4, rtol=0)
+    # feature maps: torch (B, C, H, W) -> ours (B, H, W, C)
+    for fmaps_ours, fmaps_t in zip(frs + fgs, frs_t + fgs_t):
+        assert len(fmaps_ours) == len(fmaps_t) == 6
+        for fo, ft in zip(fmaps_ours, fmaps_t):
+            np.testing.assert_allclose(
+                np.asarray(fo), ft.numpy().transpose(0, 2, 3, 1), atol=5e-4, rtol=0
+            )
+
+
+def test_msd_parity(ref_models):
+    """MSD incl. the spectral-norm discriminator's power iteration.
+
+    torch in train mode performs exactly one power iteration per forward using
+    the persisted `weight_u` (`torch.nn.utils.spectral_norm`); our Conv1d does
+    the same against the converted `norm_stats/u`, and both update u twice per
+    sub-discriminator (real then generated pass) — so outputs match only if the
+    iteration math is identical.
+    """
+    from convert_torch_checkpoint import convert_msd
+
+    torch.manual_seed(9)
+    msd_t = ref_models.MultiScaleDiscriminator()
+    # convert BEFORE the forward so both sides start from the same u — from a
+    # CLONED state dict: the converter otherwise returns zero-copy views of the
+    # torch buffers, which torch's in-place power iteration mutates during the
+    # forward (jnp.asarray on CPU can alias host numpy memory, so even that is
+    # not a barrier)
+    state = {k: v.detach().clone() for k, v in msd_t.state_dict().items()}
+    params, norm_stats = convert_msd(state)
+    msd_t.train()
+    rng = np.random.default_rng(13)
+    y = rng.standard_normal((2, 1, 4200)).astype(np.float32)
+    y_hat = rng.standard_normal((2, 1, 4200)).astype(np.float32)
+    with torch.no_grad():
+        rs_t, gs_t, frs_t, fgs_t = msd_t(torch.from_numpy(y), torch.from_numpy(y_hat))
+
+    msd = MultiScaleDiscriminator()
+    (rs, gs, frs, fgs), _ = msd.apply(
+        {"params": params, "norm_stats": norm_stats},
+        jnp.asarray(y),
+        jnp.asarray(y_hat),
+        mutable=["norm_stats"],
+    )
+    assert len(rs) == len(rs_t) == 3
+    for ours, theirs in zip(rs + gs, rs_t + gs_t):
+        np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=5e-4, rtol=0)
+    for fmaps_ours, fmaps_t in zip(frs + fgs, frs_t + fgs_t):
+        assert len(fmaps_ours) == len(fmaps_t) == 8
+        for fo, ft in zip(fmaps_ours, fmaps_t):
+            np.testing.assert_allclose(
+                np.asarray(fo), ft.numpy().transpose(0, 2, 1), atol=5e-4, rtol=0
+            )
+
+
+# ---------------------------------------------------------------------------
+# GAN losses against the real reference functions (`models.py:274-311`)
+# ---------------------------------------------------------------------------
+
+def test_gan_losses_vs_reference(ref_models, rng):
+    from mri2speech_tpu.losses import gan
+
+    fmap_r = [[rng.standard_normal((2, 4, 9)).astype(np.float32) for _ in range(3)] for _ in range(2)]
+    fmap_g = [[rng.standard_normal((2, 4, 9)).astype(np.float32) for _ in range(3)] for _ in range(2)]
+    dr = [rng.standard_normal((2, 17)).astype(np.float32) for _ in range(5)]
+    dg = [rng.standard_normal((2, 17)).astype(np.float32) for _ in range(5)]
+
+    t = torch.from_numpy
+    fl_ref = ref_models.feature_loss([[t(a) for a in m] for m in fmap_r],
+                                     [[t(a) for a in m] for m in fmap_g]).item()
+    fl = float(gan.feature_loss([[jnp.asarray(a) for a in m] for m in fmap_r],
+                                [[jnp.asarray(a) for a in m] for m in fmap_g]))
+    np.testing.assert_allclose(fl, fl_ref, rtol=1e-5)
+
+    dl_ref, r_ref, g_ref = ref_models.discriminator_loss([t(a) for a in dr], [t(a) for a in dg])
+    dl, r_ours, g_ours = gan.discriminator_loss([jnp.asarray(a) for a in dr],
+                                                [jnp.asarray(a) for a in dg])
+    np.testing.assert_allclose(float(dl), dl_ref.item(), rtol=1e-5)
+    np.testing.assert_allclose([float(x) for x in r_ours], r_ref, rtol=1e-5)
+    np.testing.assert_allclose([float(x) for x in g_ours], g_ref, rtol=1e-5)
+
+    gl_ref, gens_ref = ref_models.generator_loss([t(a) for a in dg])
+    gl, gens = gan.generator_loss([jnp.asarray(a) for a in dg])
+    np.testing.assert_allclose(float(gl), gl_ref.item(), rtol=1e-5)
+    np.testing.assert_allclose([float(x) for x in gens], [x.item() for x in gens_ref], rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# MaskedMSEMAE against the real reference class
+# (`train_mri_acoustic_model.py:57-170`)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("step", [0, 60_000, 120_000, 240_000])
+def test_masked_mse_mae_vs_reference(ref_trainer, rng, step):
+    from mri2speech_tpu.losses.masked_mse_mae import masked_mse_mae_loss
+
+    B, T, M = 3, 12, 64
+    pred = rng.standard_normal((B, T, M)).astype(np.float32)
+    target = rng.standard_normal((B, T, M)).astype(np.float32)
+    mask = (rng.uniform(size=(B, T)) > 0.25).astype(np.float32)
+    mask[:, :4] = 1.0  # ensure some valid frames
+
+    crit = ref_trainer.MaskedMSEMAE(num_mels=M, max_frames=128)
+    crit.set_step(step)
+    with torch.no_grad():
+        loss_t, mse_t, mae_t = crit(
+            torch.from_numpy(pred), torch.from_numpy(target), torch.from_numpy(mask)
+        )
+
+    loss, mse, mae = masked_mse_mae_loss(
+        jnp.asarray(pred), jnp.asarray(target), jnp.asarray(mask),
+        jnp.asarray(step, jnp.float32), num_mels=M, max_frames=128,
+    )
+    np.testing.assert_allclose(float(loss), loss_t.item(), rtol=2e-5)
+    np.testing.assert_allclose(float(mse), mse_t.item(), rtol=2e-5)
+    np.testing.assert_allclose(float(mae), mae_t.item(), rtol=2e-5)
+
+
+def test_masked_mse_mae_unmasked_vs_reference(ref_trainer, rng):
+    from mri2speech_tpu.losses.masked_mse_mae import masked_mse_mae_loss
+
+    B, T, M = 2, 8, 64
+    pred = rng.standard_normal((B, T, M)).astype(np.float32)
+    target = rng.standard_normal((B, T, M)).astype(np.float32)
+    crit = ref_trainer.MaskedMSEMAE(num_mels=M, max_frames=128)
+    crit.set_step(30_000)
+    with torch.no_grad():
+        loss_t, mse_t, mae_t = crit(torch.from_numpy(pred), torch.from_numpy(target), None)
+    loss, mse, mae = masked_mse_mae_loss(
+        jnp.asarray(pred), jnp.asarray(target), None,
+        jnp.asarray(30_000, jnp.float32), num_mels=M, max_frames=128,
+    )
+    np.testing.assert_allclose(float(loss), loss_t.item(), rtol=2e-5)
+    np.testing.assert_allclose(float(mse), mse_t.item(), rtol=2e-5)
+    np.testing.assert_allclose(float(mae), mae_t.item(), rtol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# BiLSTM sum-merge against the real reference module
+# (`mri_acoustic_model.py:50-72`), through the checkpoint converter
+# ---------------------------------------------------------------------------
+
+def test_bilstm_sum_merge_vs_reference_module(ref_acoustic, rng):
+    from convert_torch_checkpoint import convert_acoustic
+
+    in_dim, H, B, T = 208, 640, 2, 16
+    torch.manual_seed(3)
+    rnn_t = ref_acoustic.BiLSTMSumMerge(in_dim=in_dim, hidden_size=H, dropout=0.0)
+    rnn_t.eval()
+    x = rng.standard_normal((B, T, in_dim)).astype(np.float32)
+    with torch.no_grad():
+        y_ref = rnn_t(torch.from_numpy(x)).numpy()
+
+    # route through the acoustic converter exactly as a full checkpoint would
+    state = {f"rnn.{k}": v for k, v in rnn_t.state_dict().items()}
+    params, _ = convert_acoustic(state)
+    m = BiLSTMSumMerge(hidden_size=H)
+    y = m.apply({"params": params["rnn"]}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), y_ref, atol=2e-5, rtol=0)
