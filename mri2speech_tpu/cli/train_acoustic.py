@@ -65,6 +65,12 @@ def main() -> None:
     ap.add_argument("--use_reentrant", action="store_true",
                     help="Accepted for reference-CLI compat; no-op under XLA remat.")
     ap.add_argument("--bf16", action="store_true", help="bfloat16 compute.")
+    ap.add_argument(
+        "--num_devices", type=int, default=1,
+        help="Data-parallel device count; 0 = all available, 1 = single "
+             "device (the reference's acoustic trainer is single-device; DP "
+             "here shards the micro-batch dim over the mesh `data` axis).",
+    )
     args = ap.parse_args()
 
     if not os.path.isdir(args.processed_dir):
@@ -90,6 +96,12 @@ def main() -> None:
             "tools/convert_torch_checkpoint.py and pass them via --resume_ckpt."
         )
 
+    from mri2speech_tpu.cli.train_vocoder import resolve_mesh
+
+    mesh = resolve_mesh(args.num_devices)
+    if mesh is not None:
+        print(f"[MESH] data-parallel over {mesh.shape['data']} devices")
+
     trainer = AcousticTrainer(
         model,
         AcousticTrainerConfig(
@@ -101,6 +113,7 @@ def main() -> None:
             max_val_steps=args.max_val_steps,
         ),
         log_dir=os.path.abspath(args.log_dir) if args.log_dir else None,
+        mesh=mesh,
     )
 
     sample = next(iter(val_loader))

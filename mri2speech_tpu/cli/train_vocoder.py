@@ -23,10 +23,38 @@ import jax
 
 from mri2speech_tpu.config import AttrDict, build_env
 from mri2speech_tpu.data.meldata import MelDataset, get_dataset_filelist
+from mri2speech_tpu.parallel.mesh import host_is_primary, make_mesh
 from mri2speech_tpu.train.vocoder import VocoderTrainer, VocoderTrainerConfig
 from mri2speech_tpu.utils.plotting import plot_spectrogram
 
+
+def resolve_mesh(num_devices: int):
+    """--num_devices -> optional data-parallel mesh.
+
+    0 = all available devices (the reference's `device_count()` default,
+    `train.py:300`); 1 = single device, no mesh. Unlike the reference there is
+    no process spawn and the GLOBAL batch is kept (the reference divides
+    batch_size by num_gpus and re-multiplies via one process per GPU,
+    `train.py:301` — same global batch either way).
+    """
+    import jax
+
+    n = len(jax.devices()) if num_devices == 0 else num_devices
+    if n <= 1:
+        return None
+    avail = len(jax.devices())
+    if n > avail:
+        raise ValueError(f"--num_devices {n} > available devices ({avail})")
+    return make_mesh(n_data=n, n_model=1, devices=jax.devices()[:n])
+
 _audio_log_warned = False
+
+
+class _NullWriter:
+    """No-op TB writer for non-primary hosts (rank-0 gating, `train.py:114-126`)."""
+
+    def __getattr__(self, name):
+        return lambda *a, **k: None
 
 
 def _safe_add_audio(sw, tag, audio, step, sr) -> None:
@@ -43,7 +71,12 @@ def _safe_add_audio(sw, tag, audio, step, sr) -> None:
 def run_training(a: argparse.Namespace, h: AttrDict) -> None:
     from tensorboardX import SummaryWriter
 
-    trainer = VocoderTrainer(h, VocoderTrainerConfig(fine_tuning=a.fine_tuning))
+    mesh = resolve_mesh(getattr(a, "num_devices", 1))
+    if mesh is not None:
+        print(f"[MESH] data-parallel over {mesh.shape['data']} devices")
+    trainer = VocoderTrainer(
+        h, VocoderTrainerConfig(fine_tuning=a.fine_tuning), mesh=mesh
+    )
     state = trainer.init_state(jax.random.PRNGKey(h.seed))
 
     os.makedirs(a.checkpoint_path, exist_ok=True)
@@ -80,7 +113,11 @@ def run_training(a: argparse.Namespace, h: AttrDict) -> None:
         mel_weights=valid_mel_weights, seed=h.seed,
     )
 
-    sw = SummaryWriter(os.path.join(a.checkpoint_path, "logs"))
+    sw = (
+        SummaryWriter(os.path.join(a.checkpoint_path, "logs"))
+        if host_is_primary()
+        else _NullWriter()
+    )
     batch_rng = np.random.default_rng(h.seed)
     n = len(trainset)
     batches_per_epoch = max(1, n // h.batch_size)
@@ -165,6 +202,11 @@ def main() -> None:
     parser.add_argument("--fine_tuning", action="store_true")
     parser.add_argument("--extra_mels_dir", default=None)
     parser.add_argument("--extra_mels_weight", default=0.0, type=float)
+    parser.add_argument(
+        "--num_devices", default=0, type=int,
+        help="Data-parallel device count; 0 = all available (reference "
+             "`train.py:300` uses device_count()), 1 = single device.",
+    )
     a = parser.parse_args()
 
     with open(a.config) as f:

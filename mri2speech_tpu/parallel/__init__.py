@@ -5,4 +5,6 @@ from mri2speech_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    replicate,
+    host_is_primary,
 )

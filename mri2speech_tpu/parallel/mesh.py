@@ -67,3 +67,13 @@ def shard_batch(batch: Any, mesh: Mesh, batch_axis: int = 0) -> Any:
 def replicate(tree: Any, mesh: Mesh) -> Any:
     sharding = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def host_is_primary() -> bool:
+    """True on the process that should do host I/O (checkpoints, TB, prints).
+
+    The TPU-native analogue of the reference's rank-0 gating
+    (`train.py:114-126,190`): in a multi-host mesh every process runs the same
+    program, so writers must be gated on `jax.process_index() == 0`.
+    """
+    return jax.process_index() == 0

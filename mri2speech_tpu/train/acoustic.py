@@ -35,6 +35,11 @@ from mri2speech_tpu.losses.masked_mse_mae import (
     compute_band_mae,
     masked_mse_mae_loss,
 )
+from mri2speech_tpu.parallel.mesh import (
+    batch_sharding,
+    host_is_primary,
+    replicate,
+)
 from mri2speech_tpu.train import checkpoint as ckpt_io
 from mri2speech_tpu.train.schedule import ReduceLROnPlateau
 from mri2speech_tpu.utils.profiling import StepTimer
@@ -112,10 +117,17 @@ class AcousticTrainer:
         self.hist: Dict[str, list] = {"train": [], "val": []}
         self.start_epoch = 1
         self.writer = None
-        if log_dir:
+        if log_dir and host_is_primary():  # rank-0 gating (`train.py:114-126`)
             from tensorboardX import SummaryWriter
 
             self.writer = SummaryWriter(os.path.abspath(log_dir))
+        if mesh is not None:
+            n_data = mesh.shape["data"]
+            if config.micro_batch_size % n_data != 0:
+                raise ValueError(
+                    f"micro_batch_size={config.micro_batch_size} must be divisible "
+                    f"by the mesh data axis ({n_data}) for batch sharding"
+                )
         self._train_step = jax.jit(self._train_step_fn, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_fn)
         self._rng = jax.random.PRNGKey(config.seed)
@@ -128,12 +140,39 @@ class AcousticTrainer:
         variables = self.model.init(rng, mri, train=False)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", FrozenDict())
-        return TrainState(
+        state = TrainState(
             params=params,
             batch_stats=batch_stats,
             opt_state=self.tx.init(params),
             global_step=jnp.asarray(0, jnp.int32),
         )
+        if self.mesh is not None:
+            state = replicate(state, self.mesh)
+        return state
+
+    # -- mesh placement ------------------------------------------------------
+    def _put_micro(self, micro: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        """Place (n_micro, mbs, ...) arrays: micro axis unsharded, batch dim
+        split over the mesh `data` axis (DP). Single-device: plain transfer."""
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in micro.items()}
+        return {
+            k: jax.device_put(np.asarray(v), batch_sharding(self.mesh, np.asarray(v).ndim, 1))
+            for k, v in micro.items()
+        }
+
+    def _put_eval(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        n_data = self.mesh.shape["data"]
+        B = np.asarray(batch["mri"]).shape[0]
+        if B % n_data == 0:
+            return {
+                k: jax.device_put(np.asarray(v), batch_sharding(self.mesh, np.asarray(v).ndim, 0))
+                for k, v in batch.items()
+            }
+        # uneven trailing val batch: replicate (identical metrics, no resharding)
+        return replicate({k: np.asarray(v) for k, v in batch.items()}, self.mesh)
 
     # -- functional steps ---------------------------------------------------
     def _train_step_fn(self, state: TrainState, micro_batches, lr: jnp.ndarray, rng):
@@ -232,7 +271,7 @@ class AcousticTrainer:
         for i, batch in enumerate(loader):
             if i >= limit:
                 break
-            micro = _reshape_micro(batch, self.cfg.micro_batch_size)
+            micro = self._put_micro(_reshape_micro(batch, self.cfg.micro_batch_size))
             rng = jax.random.fold_in(rng_epoch, i)
             with self.step_timer.step():
                 state, metrics = self._train_step(
@@ -251,7 +290,7 @@ class AcousticTrainer:
         for i, batch in enumerate(loader):
             if i >= limit:
                 break
-            metrics = self._eval_step(state, {k: jnp.asarray(v) for k, v in batch.items()})
+            metrics = self._eval_step(state, self._put_eval(batch))
             steps += 1
             for k, v in metrics.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
@@ -261,6 +300,8 @@ class AcousticTrainer:
 
     # -- checkpointing -------------------------------------------------------
     def save_best(self, path: str, state: TrainState, epoch: int, train_loss: float, val_metrics: Dict[str, float]) -> None:
+        if not host_is_primary():  # rank-0 gating (`train.py:190`)
+            return
         obj = {
             "epoch": np.int64(epoch),
             "params": jax.device_get(state.params),
@@ -302,6 +343,8 @@ class AcousticTrainer:
             opt_state=obj["opt_state"],
             global_step=jnp.asarray(int(obj["global_step"]), jnp.int32),
         )
+        if self.mesh is not None:
+            new_state = replicate(new_state, self.mesh)
         print(
             f"[RESUME] Resuming from epoch {self.start_epoch} "
             f"(global step {int(obj['global_step'])}) with best_val={self.best_val:.6f}"

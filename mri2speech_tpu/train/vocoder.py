@@ -41,6 +41,11 @@ from mri2speech_tpu.models.vocoder import (
     MultiScaleDiscriminator,
 )
 from mri2speech_tpu.ops.mel import mel_spectrogram
+from mri2speech_tpu.parallel.mesh import (
+    batch_sharding,
+    host_is_primary,
+    replicate,
+)
 from mri2speech_tpu.train import checkpoint as ckpt_io
 from mri2speech_tpu.train.schedule import ReduceLROnPlateau
 
@@ -69,10 +74,20 @@ class VocoderTrainerConfig:
 
 class VocoderTrainer:
     def __init__(self, h, config: VocoderTrainerConfig = VocoderTrainerConfig(), mesh=None):
-        """h: AttrDict-compatible vocoder config (config_custom.json schema)."""
+        """h: AttrDict-compatible vocoder config (config_custom.json schema).
+
+        mesh: optional `jax.sharding.Mesh` with a `data` axis. The global batch
+        is sharded over it and XLA inserts the gradient all-reduce — the
+        reference's DDP path for THIS trainer (`train.py:26-28,59-62,306-307`).
+        """
         self.h = dict(h)
         self.cfg = config
         self.mesh = mesh
+        if mesh is not None and self.h["batch_size"] % mesh.shape["data"] != 0:
+            raise ValueError(
+                f"batch_size={self.h['batch_size']} must be divisible by the "
+                f"mesh data axis ({mesh.shape['data']}) for batch sharding"
+            )
         dtype = jnp.bfloat16 if config.bf16 else None
         self.generator = Generator(h=self.h, dtype=dtype)
         self.mpd = MultiPeriodDiscriminator(dtype=dtype)
@@ -103,7 +118,7 @@ class VocoderTrainer:
         mpd_params = mpd_vars["params"]
         msd_params = msd_vars["params"]
         msd_stats = msd_vars.get("norm_stats", FrozenDict())
-        return GanState(
+        state = GanState(
             gen_params=gen_params,
             mpd_params=mpd_params,
             msd_params=msd_params,
@@ -111,6 +126,9 @@ class VocoderTrainer:
             opt_g=self.tx_g.init(gen_params),
             opt_d=self.tx_d.init((mpd_params, msd_params)),
         )
+        if self.mesh is not None:
+            state = replicate(state, self.mesh)
+        return state
 
     # -- mels ----------------------------------------------------------------
     def _mel_input(self, audio: jnp.ndarray) -> jnp.ndarray:
@@ -213,9 +231,15 @@ class VocoderTrainer:
         return new_state, metrics
 
     def train_step(self, state: GanState, batch: Dict[str, Any]) -> Tuple[GanState, Dict[str, float]]:
-        audio = jnp.asarray(batch["audio"])
+        if self.mesh is not None:
+            put = lambda x: jax.device_put(
+                np.asarray(x), batch_sharding(self.mesh, np.asarray(x).ndim, 0)
+            )
+        else:
+            put = jnp.asarray
+        audio = put(batch["audio"])
         mel = batch.get("mel")
-        mel = jnp.asarray(mel) if mel is not None else None
+        mel = put(mel) if mel is not None else None
         state, metrics = self._train_step(
             state, audio, mel,
             jnp.float32(self.sched_g.lr), jnp.float32(self.sched_d.lr),
@@ -269,6 +293,8 @@ class VocoderTrainer:
 
     # -- checkpointing ----------------------------------------------------------
     def save(self, cp_dir: str, state: GanState, steps: int, epoch: int) -> None:
+        if not host_is_primary():  # rank-0 gating (`train.py:190`)
+            return
         g_path = os.path.join(cp_dir, f"g_{steps:08d}")
         ckpt_io.save_checkpoint(g_path, {"generator": jax.device_get(state.gen_params)})
         do_path = os.path.join(cp_dir, f"do_{steps:08d}")
@@ -310,4 +336,6 @@ class VocoderTrainer:
             opt_g=do_obj["optim_g"],
             opt_d=do_obj["optim_d"],
         )
+        if self.mesh is not None:
+            new_state = replicate(new_state, self.mesh)
         return new_state, int(do_obj["steps"]) + 1, int(do_obj["epoch"])

@@ -90,6 +90,53 @@ def test_dp_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3)
 
 
+def test_vocoder_dp_gan_step_matches_single_device():
+    """The sharded vocoder D+G step == unsharded: same losses, same params.
+
+    Covers the one trainer the reference actually distributes
+    (`train.py:26-28,59-62,306-307`), incl. spectral-norm `norm_stats`
+    replication and the saved-vjp G-step under GSPMD.
+    """
+    from mri2speech_tpu.config import default_vocoder_config
+    from mri2speech_tpu.train.vocoder import VocoderTrainer, VocoderTrainerConfig
+
+    h = default_vocoder_config(
+        upsample_initial_channel=16, batch_size=8, segment_size=420 * 8
+    )
+    mesh = make_mesh(8, 1)
+    t1 = VocoderTrainer(h, VocoderTrainerConfig())
+    t2 = VocoderTrainer(h, VocoderTrainerConfig(), mesh=mesh)
+
+    rng = np.random.default_rng(3)
+    audio = (rng.standard_normal((8, h["segment_size"])) * 0.1).astype(np.float32)
+    batch = {"audio": audio}
+
+    s1 = t1.init_state(jax.random.PRNGKey(h["seed"]))
+    s1, m1 = t1.train_step(s1, batch)
+
+    s2 = t2.init_state(jax.random.PRNGKey(h["seed"]))
+    assert jax.tree_util.tree_leaves(s2.gen_params)[0].sharding.spec == P()
+    s2, m2 = t2.train_step(s2, batch)
+
+    for k in ("loss_gen_all", "loss_disc_all", "mel_error"):
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=2e-4)
+    for name in ("gen_params", "mpd_params", "msd_params", "msd_norm_stats"):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(getattr(s1, name)),
+            jax.tree_util.tree_leaves(getattr(s2, name)),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3)
+
+
+def test_vocoder_trainer_rejects_indivisible_batch():
+    from mri2speech_tpu.config import default_vocoder_config
+    from mri2speech_tpu.train.vocoder import VocoderTrainer
+
+    h = default_vocoder_config(batch_size=6)
+    with pytest.raises(ValueError, match="divisible"):
+        VocoderTrainer(h, mesh=make_mesh(8, 1))
+
+
 def test_graft_entry_dryrun_8_devices():
     import importlib.util
     from pathlib import Path
