@@ -42,6 +42,57 @@ HOP = 420
 T_FRAMES = 512          # ~18.8 s of audio at 27.17 fps
 REPEATS = 5
 
+# v5e single-chip peaks (public spec): 197 TFLOP/s bf16, 819 GB/s HBM
+V5E_PEAK_FLOPS_BF16 = 197e12
+V5E_PEAK_HBM_BPS = 819e9
+
+
+def _cost_analysis(compiled, k: int = 1):
+    """(flops, bytes) per pass from an XLA Compiled, NaN-safe across jax versions."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", float("nan"))) / k
+        byts = float(ca.get("bytes accessed", float("nan"))) / k
+        return flops, byts
+    except Exception:
+        return float("nan"), float("nan")
+
+
+def timed_stage(body, args, *, k: int = 8, repeats: int = REPEATS, on_tpu: bool):
+    """Time + cost-account one pipeline stage.
+
+    `body(acc, *args) -> scalar` must depend on `acc` (loop carry) so the K
+    chained passes inside one executable cannot be hoisted by XLA; K passes
+    amortise the ~50 ms tunnel dispatch latency so the number measures the
+    DEVICE. Returns seconds/pass, GFLOPs/pass, achieved TFLOP/s, HBM GB/s, and
+    %-of-v5e-peak (MFU vs bf16 peak, HBM vs 819 GB/s) when on_tpu.
+    """
+
+    def k_passes(*a):
+        return jax.lax.fori_loop(0, k, lambda i, acc: body(acc, *a), jnp.float32(0.0))
+
+    compiled = jax.jit(k_passes).lower(*args).compile()
+    jax.block_until_ready(compiled(*args))  # warm
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(compiled(*args))
+        times.append((time.perf_counter() - t0) / k)
+    t = float(np.median(times))
+    flops, byts = _cost_analysis(compiled, k)
+    out = {
+        "seconds": t,
+        "gflops": flops / 1e9,
+        "achieved_tflops": flops / t / 1e12,
+        "hbm_gb_per_s": byts / t / 1e9,
+    }
+    if on_tpu:
+        out["mfu_pct"] = 100.0 * flops / t / V5E_PEAK_FLOPS_BF16
+        out["hbm_pct"] = 100.0 * byts / t / V5E_PEAK_HBM_BPS
+    return out
+
 
 def build_pipeline(dtype=None, lstm_impl="scan") -> VideoToSpeechPipeline:
     rng = jax.random.PRNGKey(0)
@@ -66,22 +117,60 @@ def build_pipeline(dtype=None, lstm_impl="scan") -> VideoToSpeechPipeline:
     )
     return VideoToSpeechPipeline(
         acoustic, variables, gen, folded, scaler,
-        frame_bucket=T_FRAMES, input_norm="zscore_minmax",
+        frame_bucket=64, input_norm="zscore_minmax", streaming=True,
     )
+
+
+def _slaney_mel_fb_loops(sr, n_fft, n_mels, fmin, fmax):
+    """Loop-based Slaney filterbank straight from the documented formula.
+
+    INDEPENDENT of ops.mel.mel_filterbank (same golden implementation as
+    `tests/test_ops_mel.py`), so the live parity metric below catches
+    filterbank regressions rather than cancelling them out.
+    """
+    if fmax is None:
+        fmax = sr / 2
+
+    def h2m(h):
+        if h < 1000.0:
+            return h / (200.0 / 3)
+        return 15.0 + np.log(h / 1000.0) / (np.log(6.4) / 27.0)
+
+    def m2h(m):
+        if m < 15.0:
+            return m * (200.0 / 3)
+        return 1000.0 * np.exp((np.log(6.4) / 27.0) * (m - 15.0))
+
+    edges_hz = np.array([m2h(m) for m in np.linspace(h2m(fmin), h2m(fmax), n_mels + 2)])
+    nf = 1 + n_fft // 2
+    fftfreqs = np.linspace(0, sr / 2, nf)
+    fb = np.zeros((n_mels, nf))
+    for i in range(n_mels):
+        lo, ce, hi = edges_hz[i], edges_hz[i + 1], edges_hz[i + 2]
+        for j, f in enumerate(fftfreqs):
+            if lo < f < ce:
+                fb[i, j] = (f - lo) / (ce - lo)
+            elif ce <= f < hi:
+                fb[i, j] = (hi - f) / (hi - ce)
+            elif f == ce:
+                fb[i, j] = 1.0
+        fb[i] *= 2.0 / (hi - lo)
+    return fb.astype(np.float32)
 
 
 def mel_parity_vs_torch() -> float:
     """Mean |Δ| of our device log-mel vs torch CPU, relative to torch's
     dynamic range — the BASELINE.md "mel L1 within 1%" metric, measured live.
 
-    Runs our `ops.mel_spectrogram` in fp32/HIGHEST on the active backend and
-    the exact torch.stft recomputation of the reference semantics on CPU.
+    Runs our `ops.mel_spectrogram` in fp32/HIGHEST on the active backend and an
+    exact torch.stft recomputation of the reference semantics on CPU with an
+    independently computed (loop-based) mel filterbank.
     """
     try:
         import torch
     except Exception:
         return float("nan")
-    from mri2speech_tpu.ops.mel import mel_filterbank, mel_spectrogram
+    from mri2speech_tpu.ops.mel import mel_spectrogram
 
     rng = np.random.default_rng(7)
     y = (rng.standard_normal((2, 8400)).astype(np.float32) * 0.3).clip(-1, 1)
@@ -101,7 +190,7 @@ def mel_parity_vs_torch() -> float:
         center=False, normalized=False, onesided=True, return_complex=True,
     )
     mag = torch.sqrt(spec.real ** 2 + spec.imag ** 2 + 1e-9)
-    fb = torch.from_numpy(mel_filterbank(SR, 2048, 64, 0, 8000.0))
+    fb = torch.from_numpy(_slaney_mel_fb_loops(SR, 2048, 64, 0, 8000.0))
     ref = torch.log(torch.clamp(torch.matmul(fb, mag), min=1e-5)).numpy()
     return float(np.abs(ours - ref).mean() / (ref.max() - ref.min() + 1e-9))
 
@@ -119,44 +208,62 @@ def main() -> None:
     ).astype(np.uint8)
     seconds_audio = T_FRAMES * HOP / SR
 
-    # ---- device-compute RTF: K chained passes inside ONE executable ----
-    # A single dispatch through this environment's tunnel costs ~50 ms of
-    # host-side latency, swamping the ~35 ms of device work; running K
-    # LOOP-CARRIED passes (the mask depends on the previous output, so XLA
-    # cannot hoist the body) amortises the dispatch and measures the device.
-    K = 8
+    # ---- device-compute RTF + per-stage FLOPs/MFU accounting ----
+    on_tpu = backend == "tpu"
     f, mask = pipeline.prepare_inputs(frames_u8)
     f_dev = jax.device_put(jnp.asarray(f))
     m_dev = jax.device_put(jnp.asarray(mask))
 
-    def k_passes(v, p, x, m):
-        def body(i, acc):
-            audio, _, _ = pipeline._forward(v, p, x, m + acc * 1e-30)
-            return audio[0, 0, 0].astype(jnp.float32) * 1e-30 + acc
+    def fused_body(acc, v, p, x, m):
+        audio, _, _ = pipeline._forward(v, p, x, m + acc * 1e-30)
+        return audio[0, 0, 0].astype(jnp.float32) * 1e-30 + acc
 
-        return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+    fused = timed_stage(
+        fused_body,
+        (pipeline.acoustic_variables, pipeline.generator_params, f_dev, m_dev),
+        on_tpu=on_tpu,
+    )
+    rtf_device = fused["seconds"] / seconds_audio
 
-    kf = jax.jit(k_passes)
-    r = kf(pipeline.acoustic_variables, pipeline.generator_params, f_dev, m_dev)
-    jax.block_until_ready(r)  # compile + warm
-    device_times = []
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        r = kf(pipeline.acoustic_variables, pipeline.generator_params, f_dev, m_dev)
-        jax.block_until_ready(r)
-        device_times.append((time.perf_counter() - t0) / K)
-    rtf_device = float(np.median(device_times) / seconds_audio)
+    # stage split: acoustic (uint8 normalise + CNN + BiLSTM) vs generator
+    def acoustic_body(acc, v, x, m):
+        g = pipeline._normalize_frames(x)
+        pred = pipeline.acoustic_model.apply(v, g, train=False, mask=m + acc * 1e-30)
+        return pred[0, 0, 0].astype(jnp.float32) * 1e-30 + acc
+
+    acoustic_stats = timed_stage(
+        acoustic_body, (pipeline.acoustic_variables, f_dev, m_dev), on_tpu=on_tpu
+    )
+
+    mel_dtype = jnp.bfloat16 if dtype is not None else jnp.float32
+    x_mel = jax.device_put(
+        jnp.asarray(
+            np.random.default_rng(1).standard_normal((1, 64, T_FRAMES)), mel_dtype
+        )
+    )
+
+    def generator_body(acc, p, x):
+        audio = pipeline.generator.apply({"params": p}, x + acc.astype(x.dtype) * 1e-3)
+        return audio[0, 0, 0].astype(jnp.float32) * 1e-30 + acc
+
+    generator_stats = timed_stage(
+        generator_body, (pipeline.generator_params, x_mel), on_tpu=on_tpu
+    )
 
     # ---- mel numerical parity vs the PyTorch CPU reference (BASELINE.md) ----
     mel_l1_rel = mel_parity_vs_torch()
 
     # ---- end-to-end (uint8 in, waveform out, through whatever link exists) ----
+    # serving path: streaming chunked upload overlapped with per-block CNN
+    # compute, audio-only device->host fetch
+    pipeline.infer_audio(frames_u8)  # warm the streaming programs
     e2e_times = []
-    for _ in range(max(2, REPEATS - 2)):
+    for _ in range(REPEATS):
         t0 = time.perf_counter()
-        pipeline(frames_u8)
+        pipeline.infer_audio(frames_u8)
         e2e_times.append(time.perf_counter() - t0)
     rtf_e2e = float(np.median(e2e_times) / seconds_audio)
+    e2e_rtf_all = [round(t / seconds_audio, 5) for t in e2e_times]
 
     print(
         json.dumps(
@@ -169,10 +276,18 @@ def main() -> None:
                 "dtype": "bf16" if dtype is not None else "f32",
                 "frames": T_FRAMES,
                 "seconds_audio": seconds_audio,
-                "device_step_seconds_median": float(np.median(device_times)),
+                "device_step_seconds_median": fused["seconds"],
                 "e2e_rtf_uint8": rtf_e2e,
-                "mel_frames_per_sec": T_FRAMES / float(np.median(device_times)),
+                "e2e_rtf_uint8_all": e2e_rtf_all,
+                "mel_frames_per_sec": T_FRAMES / fused["seconds"],
                 "mel_l1_vs_torch_rel": mel_l1_rel,  # target: < 0.01 (1%)
+                # per-stage FLOPs/bandwidth accounting (cost_analysis on the
+                # compiled K-loop executables; % of v5e peak on TPU)
+                "stages": {
+                    "fused": fused,
+                    "acoustic": acoustic_stats,
+                    "generator": generator_stats,
+                },
             }
         )
     )

@@ -46,6 +46,7 @@ class VideoToSpeechPipeline:
         hop_total: int = 420,
         frame_bucket: int = 64,
         input_norm: str = "none",
+        streaming: bool = False,
     ) -> None:
         """input_norm:
         * "none" — frames arrive already normalised (float [0,1] or z-scored)
@@ -53,6 +54,16 @@ class VideoToSpeechPipeline:
           (`run_mri_video_inference.py:41-54`: per-frame z-score then min-max
           to [0,1]) is applied ON DEVICE inside the fused program; frames may
           then be fed as raw uint8 (4x less host->device traffic).
+
+        streaming:
+        * False — one monolithic transfer + one fused dispatch.
+        * True — the upload is chunked into `frame_bucket`-frame blocks, each
+          followed immediately by an async per-block CNN forward (the CNN is
+          frame-wise, so chunking is EXACT); block i+1's host->device transfer
+          overlaps block i's compute. The sequential tail (BiLSTM + head +
+          scaler + bridge + generator) runs once on the concatenated features.
+          Two compiled programs regardless of video length: CNN at
+          (1, frame_bucket, ...) and the tail per padded length bucket.
         """
         self.acoustic_model = acoustic_model
         # device_put once; weights are passed as jit ARGUMENTS (closing over
@@ -66,7 +77,10 @@ class VideoToSpeechPipeline:
         self.hop_total = hop_total
         self.frame_bucket = max(1, int(frame_bucket))
         self.input_norm = input_norm
+        self.streaming = streaming
         self._fn = jax.jit(self._forward)
+        self._cnn_fn = jax.jit(self._cnn_forward)
+        self._tail_fn = jax.jit(self._tail_forward)
 
     @staticmethod
     def _normalize_frames(frames):
@@ -88,34 +102,89 @@ class VideoToSpeechPipeline:
         pred_norm = self.acoustic_model.apply(
             acoustic_variables, frames, train=False, mask=mask
         )  # (1, Tp, n_mels)
+        return self._mel_to_audio(generator_params, pred_norm)
+
+    def _cnn_forward(self, acoustic_variables, frames):
+        """One frame block (1, Tc, 1, H, W) -> pooled features (1, Tc, C).
+
+        Frame-wise and therefore exactly chunkable; dispatched asynchronously
+        per block so upload of block i+1 overlaps compute of block i.
+        """
+        if self.input_norm == "zscore_minmax":
+            frames = self._normalize_frames(frames)
+        else:
+            frames = frames.astype(jnp.float32)
+        Tc = frames.shape[1]
+        feat_map = self.acoustic_model.apply(
+            acoustic_variables, frames, train=False,
+            method=AcousticModel.cnn_features,
+        )  # (Tc, h, w, C)
+        return jnp.mean(feat_map, axis=(1, 2)).reshape(1, Tc, -1)
+
+    def _tail_forward(self, acoustic_variables, generator_params, feat_blocks, mask):
+        """Concatenated pooled features -> (audio, mel_db, mel_log)."""
+        pooled = jnp.concatenate(feat_blocks, axis=1)
+        pred_norm = self.acoustic_model.apply(
+            acoustic_variables, pooled, mask, train=False,
+            method=AcousticModel.head_from_pooled,
+        )
+        return self._mel_to_audio(generator_params, pred_norm)
+
+    def _mel_to_audio(self, generator_params, pred_norm):
         mel_db = pred_norm * self.std + self.mean
         mel_log = mel_db_to_log_power(mel_db)
         x = jnp.swapaxes(mel_log, 1, 2)  # (1, n_mels, Tp)
         audio = self.generator.apply({"params": generator_params}, x)
         return audio, mel_db, mel_log
 
+    def _run_device(self, frames: np.ndarray):
+        """Dispatch the full pipeline; returns device arrays (audio, mels)."""
+        f, mask = self.prepare_inputs(frames)
+        if not self.streaming:
+            return self._fn(
+                self.acoustic_variables, self.generator_params,
+                jnp.asarray(f), jnp.asarray(mask),
+            )
+        Tc = self.frame_bucket
+        n_blocks = f.shape[1] // Tc
+        mask_dev = jax.device_put(mask)
+        feats = []
+        for i in range(n_blocks):
+            # contiguous zero-copy host view -> async upload -> async CNN
+            block = jax.device_put(f[:, i * Tc : (i + 1) * Tc])
+            feats.append(self._cnn_fn(self.acoustic_variables, block))
+        return self._tail_fn(
+            self.acoustic_variables, self.generator_params, tuple(feats), mask_dev
+        )
+
     def __call__(self, frames: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """frames (T, H, W) float32 -> (audio (T*420,), mel_db (T,64), mel_log (T,64))."""
-        f, mask = self.prepare_inputs(frames)
-        audio, mel_db, mel_log = self._fn(
-            self.acoustic_variables, self.generator_params,
-            jnp.asarray(f), jnp.asarray(mask),
-        )
+        audio, mel_db, mel_log = self._run_device(frames)
         T = frames.shape[0]
         audio = np.asarray(audio)[0, 0, : T * self.hop_total]
         return audio, np.asarray(mel_db)[0, :T], np.asarray(mel_log)[0, :T]
+
+    def infer_audio(self, frames: np.ndarray) -> np.ndarray:
+        """Serving path: frames -> waveform, fetching ONLY the audio back
+        (mel artifacts stay on device — 1 device->host transfer instead of 3)."""
+        audio, _, _ = self._run_device(frames)
+        return np.asarray(audio)[0, 0, : frames.shape[0] * self.hop_total]
 
     def prepare_inputs(self, frames: np.ndarray):
         """Host-side framing: pad to the bucket, build the validity mask.
 
         Keeps the input dtype (uint8 passes through untouched when
-        input_norm="zscore_minmax" — the device casts and normalises).
+        input_norm="zscore_minmax" — the device casts and normalises). When T
+        is already a bucket multiple the frame array is a zero-copy reshape
+        view — no 30 MB host memcpy on the hot serving path.
         """
         T = frames.shape[0]
         Tp = ((T + self.frame_bucket - 1) // self.frame_bucket) * self.frame_bucket
-        f = np.empty((1, Tp, 1) + frames.shape[1:], dtype=frames.dtype)
-        f[0, :T, 0] = frames
-        if Tp > T:
+        if Tp == T:
+            f = frames.reshape(1, T, 1, *frames.shape[1:])  # view, no copy
+        else:
+            f = np.empty((1, Tp, 1) + frames.shape[1:], dtype=frames.dtype)
+            f[0, :T, 0] = frames
             f[0, T:, 0] = frames[-1]  # replicate-pad (masked in the BiLSTM)
         mask = np.zeros((1, Tp), dtype=np.float32)
         mask[0, :T] = 1.0
@@ -128,9 +197,9 @@ class VideoToSpeechPipeline:
         """
         T = frames.shape[0]
         if warmup:
-            self(frames)
+            self.infer_audio(frames)
         t0 = time.perf_counter()
-        audio, _, _ = self(frames)  # __call__ blocks on np.asarray transfers
+        audio = self.infer_audio(frames)  # blocks on the audio fetch
         dt = time.perf_counter() - t0
         duration = len(audio) / sr
         return audio, {
@@ -152,6 +221,7 @@ def build_pipeline_from_checkpoints(
     dropout: float = 0.5,
     frame_bucket: int = 64,
     fuse_mrf: bool = True,
+    streaming: bool = False,
     cnn_spec=None,
     cnn_stem=None,
     dtype=None,
@@ -184,7 +254,8 @@ def build_pipeline_from_checkpoints(
         except ValueError:
             pass  # non-'1' resblock configs fall back to the unfused stack
     return VideoToSpeechPipeline(
-        model, variables, generator, gen_params, scaler, frame_bucket=frame_bucket
+        model, variables, generator, gen_params, scaler,
+        frame_bucket=frame_bucket, streaming=streaming,
     )
 
 
@@ -229,6 +300,12 @@ def main() -> None:
     parser.add_argument("--rnn-hidden", type=int, default=640)
     parser.add_argument("--dropout", type=float, default=0.5)
     parser.add_argument("--frame-bucket", type=int, default=64)
+    parser.add_argument(
+        "--streaming", action="store_true",
+        help="Chunk the frame upload and overlap host->device transfer with "
+             "per-block CNN compute (bit-identical output; lower latency when "
+             "transfer and compute are comparable).",
+    )
     args = parser.parse_args()
 
     video_path = Path(args.video)
@@ -240,6 +317,7 @@ def main() -> None:
         args.mri_checkpoint, args.scaler_json, args.hifigan_config,
         args.hifigan_checkpoint, n_mels=args.n_mels, rnn_hidden=args.rnn_hidden,
         dropout=args.dropout, frame_bucket=args.frame_bucket,
+        streaming=args.streaming,
     )
     audio, stats = pipeline.timed_run(frames)
     _, mel_db, mel_log = pipeline(frames)

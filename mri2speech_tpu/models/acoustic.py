@@ -119,7 +119,18 @@ class AcousticModel(nn.Module):
     ) -> Array:
         """(B*T, h, w, C) feature maps -> (B, T, n_mels) predictions."""
         pooled = jnp.mean(feats, axis=(1, 2)).reshape(batch, timesteps, -1)
-        y = self.rnn(pooled)
+        return self.head_from_pooled(pooled, train=train)
+
+    def head_from_pooled(
+        self, pooled: Array, mask: Optional[Array] = None, train: bool = False
+    ) -> Array:
+        """(B, T, C) pooled CNN features -> (B, T, n_mels) predictions.
+
+        The streaming-inference split point: per-chunk CNN features (frame-wise,
+        exactly chunkable) are concatenated and fed here for the sequential
+        BiLSTM + head tail.
+        """
+        y = self.rnn(pooled, mask)
         y = self.drop(y, deterministic=not train)
         return self.head(y).astype(jnp.float32)
 

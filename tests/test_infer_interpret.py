@@ -63,6 +63,30 @@ def test_pipeline_shapes_and_padding_exactness(tiny_setup):
     np.testing.assert_allclose(mel_db, mel_db_exact, atol=2e-4, rtol=1e-4)
 
 
+def test_pipeline_streaming_matches_monolithic(tiny_setup):
+    """Chunked-upload streaming mode is bit-identical to the fused dispatch
+    (the CNN is frame-wise, so per-block evaluation is exact), and the
+    audio-only serving fetch returns the same waveform."""
+    acoustic, variables, gen, gen_params, scaler, h = tiny_setup
+    rng = np.random.default_rng(4)
+    frames = (rng.random((13, 64, 64)) * 255).astype(np.uint8)
+
+    mono = VideoToSpeechPipeline(
+        acoustic, variables, gen, gen_params, scaler,
+        frame_bucket=4, input_norm="zscore_minmax",
+    )
+    stream = VideoToSpeechPipeline(
+        acoustic, variables, gen, gen_params, scaler,
+        frame_bucket=4, input_norm="zscore_minmax", streaming=True,
+    )
+    a1, m1, l1 = mono(frames)
+    a2, m2, l2 = stream(frames)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(m1, m2)
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_array_equal(stream.infer_audio(frames), a2)
+
+
 def test_pipeline_timed_run(tiny_setup):
     acoustic, variables, gen, gen_params, scaler, h = tiny_setup
     pipe = VideoToSpeechPipeline(
