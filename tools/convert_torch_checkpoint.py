@@ -231,6 +231,80 @@ def convert_acoustic(state: Dict[str, Any]):
     return params, batch_stats
 
 
+def timm_b2_key_manifest() -> Dict[str, list]:
+    """Expected timm `tf_efficientnetv2_b2` (features_only) state-dict contract.
+
+    This is the input contract of `convert_acoustic`'s backbone mapping: key
+    names follow timm's efficientnet block naming (conv_stem/bn1, ConvBnAct
+    `conv`+`bn1`, EdgeResidual `conv_exp`/`conv_pwl`+`bn1`/`bn2`,
+    InvertedResidual `conv_pw`/`conv_dw`/`se.conv_reduce|expand`/`conv_pwl`+
+    `bn1`/`bn2`/`bn3`); shapes are torch layouts ((out,in,kh,kw); depthwise
+    (mid,1,k,k); SE reduced dim = max(1, int(in_ch * 0.25))). Pinned as
+    `tests/fixtures/timm_tf_efficientnetv2_b2_manifest.json` so converter or
+    spec drift trips a test. timm is not installed here, so this manifest (not
+    a live timm model) defines the port; the offline conversion recipe is:
+
+        # on any machine with timm + torch:
+        import timm, torch
+        m = timm.create_model("tf_efficientnetv2_b2", pretrained=True,
+                              features_only=True)
+        torch.save({"model_state_dict":
+                    {f"cnn.backbone.{k}": v for k, v in m.state_dict().items()}},
+                   "b2_pretrained.pth")
+        # here:
+        python tools/convert_torch_checkpoint.py --kind acoustic \
+            --torch_ckpt b2_pretrained.pth --out b2_pretrained.msgpack
+
+    Reference anchor: `mri2speech_code/mri_acoustic_model.py:28-36`
+    (cnn_pretrained=True pulls these timm weights).
+    """
+    import sys
+    from pathlib import Path
+
+    repo_root = str(Path(__file__).resolve().parents[1])
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
+    from mri2speech_tpu.models.effnetv2 import EFFNETV2_B2_SPEC, EFFNETV2_B2_STEM
+
+    manifest: Dict[str, list] = {}
+
+    def put_bn(prefix, ch):
+        for sfx in ("weight", "bias", "running_mean", "running_var"):
+            manifest[f"{prefix}.{sfx}"] = [ch]
+        manifest[f"{prefix}.num_batches_tracked"] = []
+
+    manifest["conv_stem.weight"] = [EFFNETV2_B2_STEM, 3, 3, 3]
+    put_bn("bn1", EFFNETV2_B2_STEM)
+    in_ch = EFFNETV2_B2_STEM
+    for si, st in enumerate(EFFNETV2_B2_SPEC):
+        for bi in range(st.repeats):
+            p = f"blocks.{si}.{bi}"
+            if st.block == "cn":
+                manifest[f"{p}.conv.weight"] = [st.channels, in_ch, st.kernel, st.kernel]
+                put_bn(f"{p}.bn1", st.channels)
+            elif st.block == "er":
+                mid = in_ch * st.expand
+                manifest[f"{p}.conv_exp.weight"] = [mid, in_ch, st.kernel, st.kernel]
+                put_bn(f"{p}.bn1", mid)
+                manifest[f"{p}.conv_pwl.weight"] = [st.channels, mid, 1, 1]
+                put_bn(f"{p}.bn2", st.channels)
+            else:
+                mid = in_ch * st.expand
+                manifest[f"{p}.conv_pw.weight"] = [mid, in_ch, 1, 1]
+                put_bn(f"{p}.bn1", mid)
+                manifest[f"{p}.conv_dw.weight"] = [mid, 1, st.kernel, st.kernel]
+                put_bn(f"{p}.bn2", mid)
+                red = max(1, int(in_ch * st.se_ratio))
+                manifest[f"{p}.se.conv_reduce.weight"] = [red, mid, 1, 1]
+                manifest[f"{p}.se.conv_reduce.bias"] = [red]
+                manifest[f"{p}.se.conv_expand.weight"] = [mid, red, 1, 1]
+                manifest[f"{p}.se.conv_expand.bias"] = [mid]
+                manifest[f"{p}.conv_pwl.weight"] = [st.channels, mid, 1, 1]
+                put_bn(f"{p}.bn3", st.channels)
+            in_ch = st.channels
+    return manifest
+
+
 # ---------------------------------------------------------------------------
 # CLI
 # ---------------------------------------------------------------------------
