@@ -21,7 +21,7 @@ leaky_relu with torch's DEFAULT slope 0.01, not LRELU_SLOPE=0.1.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -140,7 +140,24 @@ class FusedMRFStage(nn.Module):
         return jnp.mean(X.reshape(B, T, nb, ch), axis=2)
 
 
-def fuse_mrf_params(folded_params: dict, h: dict, mode: str = "dense") -> dict:
+def normalize_fuse_modes(mode, num_stages: int):
+    """Per-stage MRF mode list from a string or sequence.
+
+    "dense"/"grouped" apply to every stage; a sequence gives each upsample
+    stage its own mode, with "none" keeping the stage's 3 separate ResBlocks
+    (redundancy 1; best when the branch channel count already fills the MXU
+    lanes — the dense fusion computes k_max/k_j-padded, block-diagonal kernels
+    = ~4.7x the useful FLOPs, which only pays off at narrow stages).
+    """
+    if isinstance(mode, str):
+        return [mode] * num_stages
+    modes = list(mode)
+    if len(modes) != num_stages:
+        raise ValueError(f"fuse_mode needs {num_stages} entries, got {len(modes)}")
+    return modes
+
+
+def fuse_mrf_params(folded_params: dict, h: dict, mode="dense") -> dict:
     """Transform folded (plain-w) Generator params into fuse_mrf=True layout.
 
     Kernel embedding identity: a causal conv (left pad d*(k-1), taps w[0..k))
@@ -148,6 +165,9 @@ def fuse_mrf_params(folded_params: dict, h: dict, mode: str = "dense") -> dict:
     d*(k_max-1)): output[t] still sees x[t-(k-1)d .. t] through the trailing
     taps. Branch kernels are then concatenated on the output-channel axis for
     a grouped conv (one group per branch).
+
+    `mode` may be a per-stage list (see `normalize_fuse_modes`); "none" stages
+    keep their resblocks_* params untouched.
     """
     import numpy as np
 
@@ -158,9 +178,16 @@ def fuse_mrf_params(folded_params: dict, h: dict, mode: str = "dense") -> dict:
     k_max = max(kernels)
     nb = len(kernels)
     num_up = len(h["upsample_rates"])
+    modes = normalize_fuse_modes(mode, num_up)
 
     out = {k: v for k, v in folded_params.items() if not k.startswith("resblocks_")}
     for i in range(num_up):
+        if modes[i] == "none":
+            for j in range(nb):
+                name = f"resblocks_{i * nb + j}"
+                out[name] = folded_params[name]
+            continue
+        mode_i = modes[i]
         stage: dict = {}
         for u in range(len(dils[0])):
             for conv_list, conv_name in (("convs1", "conv1"), ("convs2", "conv2")):
@@ -176,7 +203,7 @@ def fuse_mrf_params(folded_params: dict, h: dict, mode: str = "dense") -> dict:
                     ws.append(w)
                     bs.append(np.asarray(p["b"]))
                 w_grouped = np.concatenate(ws, axis=2)  # (k_max, ch, nb*ch)
-                if mode == "dense":
+                if mode_i == "dense":
                     # block-diagonal dense kernel: 3x the FLOPs of the grouped
                     # form, but one fully lane-packed matmul — measured ~15%
                     # faster end-to-end than the unfused stack on v5e, while
@@ -214,7 +241,7 @@ class Generator(nn.Module):
     h: dict  # AttrDict-compatible config (config_custom.json schema)
     use_weight_norm: bool = True  # False after fold_weight_norm (inference)
     fuse_mrf: bool = False
-    fuse_mode: str = "dense"
+    fuse_mode: Any = "dense"  # str, or per-stage tuple with "none" opt-outs
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -222,6 +249,11 @@ class Generator(nn.Module):
         h = self.h
         num_kernels = len(h["resblock_kernel_sizes"])
         resblock_cls = ResBlock1 if str(h["resblock"]) == "1" else ResBlock2
+        fuse_modes = (
+            normalize_fuse_modes(self.fuse_mode, len(h["upsample_rates"]))
+            if self.fuse_mrf
+            else ["none"] * len(h["upsample_rates"])
+        )
 
         x = jnp.swapaxes(x, 1, 2)  # (B, T, n_mels) channels-last
         if self.dtype is not None:
@@ -243,13 +275,13 @@ class Generator(nn.Module):
                 polyphase=self.fuse_mrf,  # inference-transformed path
                 dtype=self.dtype, name=f"ups_{i}",
             )(x)
-            if self.fuse_mrf:
+            if fuse_modes[i] != "none":
                 x = FusedMRFStage(
                     ch,
                     max(h["resblock_kernel_sizes"]),
                     tuple(h["resblock_dilation_sizes"][0]),
                     num_branches=num_kernels,
-                    mode=self.fuse_mode,
+                    mode=fuse_modes[i],
                     dtype=self.dtype,
                     name=f"mrf_{i}",
                 )(x)

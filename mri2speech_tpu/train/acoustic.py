@@ -66,6 +66,9 @@ class AcousticTrainerConfig:
     max_train_steps: Optional[int] = None
     max_val_steps: Optional[int] = None
     seed: int = 0
+    # None = auto: sharded orbax checkpoints when the mesh spans >1 process
+    # (multi-host); msgpack single-file otherwise
+    use_orbax: Optional[bool] = None
 
 
 def _reshape_micro(batch: Dict[str, np.ndarray], micro_bs: int) -> Dict[str, np.ndarray]:
@@ -128,6 +131,11 @@ class AcousticTrainer:
                     f"micro_batch_size={config.micro_batch_size} must be divisible "
                     f"by the mesh data axis ({n_data}) for batch sharding"
                 )
+        self.use_orbax = (
+            config.use_orbax
+            if config.use_orbax is not None
+            else jax.process_count() > 1
+        )
         self._train_step = jax.jit(self._train_step_fn, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_fn)
         self._rng = jax.random.PRNGKey(config.seed)
@@ -300,6 +308,26 @@ class AcousticTrainer:
 
     # -- checkpointing -------------------------------------------------------
     def save_best(self, path: str, state: TrainState, epoch: int, train_loss: float, val_metrics: Dict[str, float]) -> None:
+        if self.use_orbax:
+            # multi-host: EVERY process participates (each writes its shards);
+            # orbax coordinates, host 0 writes the JSON metadata sidecar
+            ckpt_io.save_train_state_orbax(
+                path,
+                {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state,
+                    "global_step": state.global_step,
+                },
+                {
+                    "epoch": int(epoch),
+                    "scheduler": self.sched.state_dict(),
+                    "val_loss": float(val_metrics["loss"]),
+                    "val_mse": float(val_metrics.get("mse", float("nan"))),
+                    "train_loss": float(train_loss),
+                },
+            )
+            return
         if not host_is_primary():  # rank-0 gating (`train.py:190`)
             return
         obj = {
@@ -316,7 +344,42 @@ class AcousticTrainer:
         ckpt_io.save_checkpoint(path, obj)
 
     def resume_from_checkpoint(self, path: str, state: TrainState) -> Tuple[TrainState, int]:
-        """Full resume: params/opt/sched/epoch/global step (`:393-462`)."""
+        """Full resume: params/opt/sched/epoch/global step (`:393-462`).
+
+        Orbax directories restore onto the CURRENT state's shardings (the
+        current arrays are the template), so a checkpoint written on one mesh
+        restores onto a different mesh transparently.
+        """
+        if ckpt_io.is_orbax_checkpoint(path):
+            arrays, meta = ckpt_io.restore_train_state_orbax(
+                path,
+                {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state,
+                    "global_step": state.global_step,
+                },
+            )
+            if meta.get("scheduler"):
+                self.sched.load_state_dict(meta["scheduler"])
+            if np.isfinite(meta.get("val_loss", float("nan"))):
+                self.best_val = float(meta["val_loss"])
+                self.hist["val"].append(float(meta["val_loss"]))
+            if np.isfinite(meta.get("train_loss", float("nan"))):
+                self.hist["train"].append(float(meta["train_loss"]))
+            self.start_epoch = int(meta.get("epoch", 0)) + 1
+            self.patience = 0
+            new_state = TrainState(
+                params=arrays["params"],
+                batch_stats=arrays["batch_stats"],
+                opt_state=arrays["opt_state"],
+                global_step=arrays["global_step"],
+            )
+            print(
+                f"[RESUME] Orbax resume from epoch {self.start_epoch} "
+                f"(global step {int(new_state.global_step)})"
+            )
+            return new_state, self.start_epoch
         template = {
             "epoch": np.int64(0),
             "params": jax.device_get(state.params),

@@ -71,3 +71,57 @@ def restore_pytree_orbax(path: str, template: Any) -> Any:
 
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.abspath(path), template)
+
+
+# ---------------------------------------------------------------------------
+# multi-host train-state checkpoints (orbax directory + host-0 JSON sidecar)
+# ---------------------------------------------------------------------------
+
+_META_NAME = "train_meta.json"
+
+
+def is_orbax_checkpoint(path: str) -> bool:
+    """True if `path` is an orbax train-state directory (vs a msgpack file)."""
+    return os.path.isdir(path) and (
+        os.path.isfile(os.path.join(path, _META_NAME))
+        or os.path.isdir(os.path.join(path, "arrays"))
+    )
+
+
+def save_train_state_orbax(path: str, arrays: Any, meta: dict) -> None:
+    """Sharded save for multi-host runs.
+
+    EVERY process must call this (orbax coordinates; each host writes its own
+    array shards — this is why the msgpack host-0 gating must NOT be applied
+    to this path). The non-array metadata (epoch, scheduler state, losses) is
+    written by host 0 only, as a JSON sidecar.
+    """
+    import json
+
+    import jax
+
+    path = os.path.abspath(path)
+    save_pytree_orbax(os.path.join(path, "arrays"), arrays)
+    if jax.process_index() == 0:
+        tmp = os.path.join(path, _META_NAME + ".tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(path, _META_NAME))
+
+
+def restore_train_state_orbax(path: str, template_arrays: Any):
+    """(arrays, meta) restore; arrays land with the TEMPLATE's shardings.
+
+    Passing the current (possibly differently-meshed) state as the template
+    makes restore-onto-a-different-mesh work: orbax reshards on load.
+    """
+    import json
+
+    path = os.path.abspath(path)
+    arrays = restore_pytree_orbax(os.path.join(path, "arrays"), template_arrays)
+    meta_path = os.path.join(path, _META_NAME)
+    meta = {}
+    if os.path.isfile(meta_path):
+        with open(meta_path, "r", encoding="utf-8") as f:
+            meta = json.load(f)
+    return arrays, meta

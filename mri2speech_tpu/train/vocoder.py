@@ -70,6 +70,8 @@ class VocoderTrainerConfig:
     fine_tuning: bool = False
     seed: int = 1234
     bf16: bool = False  # bfloat16 compute for G/D forwards (fp32 params/losses)
+    # None = auto: sharded orbax checkpoints when the mesh spans >1 process
+    use_orbax: Optional[bool] = None
 
 
 class VocoderTrainer:
@@ -92,6 +94,11 @@ class VocoderTrainer:
         self.generator = Generator(h=self.h, dtype=dtype)
         self.mpd = MultiPeriodDiscriminator(dtype=dtype)
         self.msd = MultiScaleDiscriminator(dtype=dtype)
+        self.use_orbax = (
+            config.use_orbax
+            if config.use_orbax is not None
+            else jax.process_count() > 1
+        )
         self.tx_g = _adabelief(self.h["learning_rate"])
         self.tx_d = _adabelief(self.h["learning_rate"])
         self.sched_g = ReduceLROnPlateau(self.h["learning_rate"], factor=0.1, patience=4)
@@ -293,11 +300,29 @@ class VocoderTrainer:
 
     # -- checkpointing ----------------------------------------------------------
     def save(self, cp_dir: str, state: GanState, steps: int, epoch: int) -> None:
+        g_path = os.path.join(cp_dir, f"g_{steps:08d}")
+        do_path = os.path.join(cp_dir, f"do_{steps:08d}")
+        if self.use_orbax:
+            # multi-host: all processes participate (sharded orbax dirs with
+            # the same g_/do_ naming, so scan_checkpoint resume still works)
+            ckpt_io.save_train_state_orbax(
+                g_path, {"generator": state.gen_params}, {}
+            )
+            ckpt_io.save_train_state_orbax(
+                do_path,
+                {
+                    "mpd": state.mpd_params,
+                    "msd": state.msd_params,
+                    "msd_norm_stats": state.msd_norm_stats,
+                    "optim_g": state.opt_g,
+                    "optim_d": state.opt_d,
+                },
+                {"steps": int(steps), "epoch": int(epoch)},
+            )
+            return
         if not host_is_primary():  # rank-0 gating (`train.py:190`)
             return
-        g_path = os.path.join(cp_dir, f"g_{steps:08d}")
         ckpt_io.save_checkpoint(g_path, {"generator": jax.device_get(state.gen_params)})
-        do_path = os.path.join(cp_dir, f"do_{steps:08d}")
         ckpt_io.save_checkpoint(
             do_path,
             {
@@ -317,6 +342,29 @@ class VocoderTrainer:
         cp_do = ckpt_io.scan_checkpoint(cp_dir, "do_")
         if cp_g is None or cp_do is None:
             return state, 0, -1
+        if ckpt_io.is_orbax_checkpoint(cp_g):
+            g_arrays, _ = ckpt_io.restore_train_state_orbax(
+                cp_g, {"generator": state.gen_params}
+            )
+            do_arrays, do_meta = ckpt_io.restore_train_state_orbax(
+                cp_do,
+                {
+                    "mpd": state.mpd_params,
+                    "msd": state.msd_params,
+                    "msd_norm_stats": state.msd_norm_stats,
+                    "optim_g": state.opt_g,
+                    "optim_d": state.opt_d,
+                },
+            )
+            new_state = GanState(
+                gen_params=g_arrays["generator"],
+                mpd_params=do_arrays["mpd"],
+                msd_params=do_arrays["msd"],
+                msd_norm_stats=do_arrays["msd_norm_stats"],
+                opt_g=do_arrays["optim_g"],
+                opt_d=do_arrays["optim_d"],
+            )
+            return new_state, int(do_meta.get("steps", 0)) + 1, int(do_meta.get("epoch", 0))
         g_obj = ckpt_io.load_checkpoint(cp_g, {"generator": jax.device_get(state.gen_params)})
         do_template = {
             "mpd": jax.device_get(state.mpd_params),

@@ -178,7 +178,10 @@ def test_mpd_msd_shapes(rng):
     assert "norm_stats" in new_state  # spectral norm power-iteration state
 
 
-@pytest.mark.parametrize("mode", ["dense", "grouped"])
+@pytest.mark.parametrize(
+    "mode",
+    ["dense", "grouped", ("none", "dense", "none", "dense"), ("none",) * 4],
+)
 def test_fused_mrf_matches_unfused(mode):
     """fuse_mrf transforms are output-identical to the 3-branch MRF."""
     from mri2speech_tpu.models.vocoder import fuse_mrf_params

@@ -35,6 +35,30 @@ from mri2speech_tpu.train.acoustic import (
 )
 from mri2speech_tpu.train.vocoder import VocoderTrainer, VocoderTrainerConfig
 
+V5E_PEAK_FLOPS_BF16 = 197e12
+V5E_PEAK_HBM_BPS = 819e9
+
+
+def _cost_fields(lowered, step_s: float) -> dict:
+    """FLOPs/bandwidth accounting from XLA cost_analysis (see bench.py)."""
+    try:
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", float("nan")))
+        byts = float(ca.get("bytes accessed", float("nan")))
+    except Exception:
+        return {}
+    out = {
+        "gflops_per_step": flops / 1e9,
+        "achieved_tflops": flops / step_s / 1e12,
+        "hbm_gb_per_s": byts / step_s / 1e9,
+    }
+    if jax.default_backend() == "tpu":
+        out["mfu_pct"] = 100.0 * flops / step_s / V5E_PEAK_FLOPS_BF16
+        out["hbm_pct"] = 100.0 * byts / step_s / V5E_PEAK_HBM_BPS
+    return out
+
 
 def bench_acoustic(use_bf16: bool, repeats: int = 5) -> dict:
     B, T, HW = 8, 4, 256
@@ -62,7 +86,7 @@ def bench_acoustic(use_bf16: bool, repeats: int = 5) -> dict:
         jax.block_until_ready(state.params)
         times.append(time.perf_counter() - t0)
     step_s = float(np.median(times))
-    return {
+    out = {
         "metric": "acoustic_train_step_seconds",
         "value": step_s,
         "unit": "s/step",
@@ -71,6 +95,13 @@ def bench_acoustic(use_bf16: bool, repeats: int = 5) -> dict:
         "mel_frames_per_sec_train": B * T / step_s,
         "dtype": "bf16" if use_bf16 else "f32",
     }
+    out.update(
+        _cost_fields(
+            trainer._train_step.lower(state, micro, lr, jax.random.PRNGKey(0)),
+            step_s,
+        )
+    )
+    return out
 
 
 def bench_vocoder(repeats: int = 3, bf16: bool = False) -> dict:
@@ -90,7 +121,7 @@ def bench_vocoder(repeats: int = 3, bf16: bool = False) -> dict:
         jax.block_until_ready(state.gen_params)
         times.append(time.perf_counter() - t0)
     step_s = float(np.median(times))
-    return {
+    out = {
         "metric": "vocoder_gan_step_seconds",
         "value": step_s,
         "unit": "s/step",
@@ -98,6 +129,17 @@ def bench_vocoder(repeats: int = 3, bf16: bool = False) -> dict:
         "dtype": "bf16" if bf16 else "f32",
         "audio_seconds_per_sec_train": B * h["segment_size"] / h["sampling_rate"] / step_s,
     }
+    out.update(
+        _cost_fields(
+            trainer._train_step.lower(
+                state, jnp.asarray(audio), None,
+                jnp.float32(trainer.sched_g.lr), jnp.float32(trainer.sched_d.lr),
+                fine_tuning=False,
+            ),
+            step_s,
+        )
+    )
+    return out
 
 
 def main() -> None:
