@@ -34,7 +34,7 @@ from mri2speech_tpu.config import default_vocoder_config
 from mri2speech_tpu.infer.pipeline import VideoToSpeechPipeline
 from mri2speech_tpu.models.acoustic import AcousticModel
 from mri2speech_tpu.models.layers import fold_weight_norm
-from mri2speech_tpu.models.vocoder import Generator, fuse_mrf_params
+from mri2speech_tpu.models.vocoder import Generator, default_fuse_mode, fuse_mrf_params
 from mri2speech_tpu.ops.scaler import MelScaler
 
 SR = 11413
@@ -107,10 +107,13 @@ def build_pipeline(dtype=None, lstm_impl="scan") -> VideoToSpeechPipeline:
     gen_params = jax.jit(
         lambda r: gen_wn.init(r, jnp.zeros((1, 64, 4)))["params"]
     )(jax.random.PRNGKey(1))
-    # inference transforms: fold weight norm, fuse the MRF branches into
-    # block-diagonal dense convs (parity-tested; ~15% faster on v5e)
-    gen = Generator(h=h, use_weight_norm=False, fuse_mrf=True, dtype=dtype)
-    folded = fuse_mrf_params(fold_weight_norm(jax.device_get(gen_params)), h)
+    # inference transforms: fold weight norm, fuse the MRF branches of the
+    # NARROW final stage into a block-diagonal dense conv (parity-tested;
+    # per-stage modes measured by tools/probe_fuse_modes.py — wide stages run
+    # unfused at redundancy 1)
+    mode = default_fuse_mode(h)
+    gen = Generator(h=h, use_weight_norm=False, fuse_mrf=True, fuse_mode=mode, dtype=dtype)
+    folded = fuse_mrf_params(fold_weight_norm(jax.device_get(gen_params)), h, mode=mode)
 
     scaler = MelScaler(
         mean=np.zeros(64, dtype=np.float32), std=np.ones(64, dtype=np.float32)

@@ -227,7 +227,11 @@ def build_pipeline_from_checkpoints(
     dtype=None,
 ) -> VideoToSpeechPipeline:
     from mri2speech_tpu.infer.vocoder_io import load_generator
-    from mri2speech_tpu.models.vocoder import Generator, fuse_mrf_params
+    from mri2speech_tpu.models.vocoder import (
+        Generator,
+        default_fuse_mode,
+        fuse_mrf_params,
+    )
     from mri2speech_tpu.train import checkpoint as ckpt_io
 
     scaler = MelScaler.load(scaler_json)
@@ -247,9 +251,11 @@ def build_pipeline_from_checkpoints(
     generator, gen_params = load_generator(hifigan_config, hifigan_checkpoint, dtype=dtype)
     if fuse_mrf:
         try:
-            gen_params = fuse_mrf_params(gen_params, generator.h)
+            mode = default_fuse_mode(generator.h)
+            gen_params = fuse_mrf_params(gen_params, generator.h, mode=mode)
             generator = Generator(
-                h=generator.h, use_weight_norm=False, fuse_mrf=True, dtype=dtype
+                h=generator.h, use_weight_norm=False, fuse_mrf=True,
+                fuse_mode=mode, dtype=dtype,
             )
         except ValueError:
             pass  # non-'1' resblock configs fall back to the unfused stack

@@ -140,6 +140,21 @@ class FusedMRFStage(nn.Module):
         return jnp.mean(X.reshape(B, T, nb, ch), axis=2)
 
 
+def default_fuse_mode(h: dict):
+    """Measured-best per-stage MRF layout for v5e inference.
+
+    Probe (tools/probe_fuse_modes.py, T=512, bf16): all-dense 25.1 ms,
+    stage-3-only dense 17.6 ms, all-unfused 22.1 ms. The wide stages
+    (256/128/64 branch channels) already fill the MXU lanes, so the dense
+    fusion's ~4.7x FLOP redundancy loses there; only the 32-channel final
+    stage profits from the 96-lane packing.
+    """
+    rates = h.get("upsample_rates", [])
+    if len(rates) == 4:
+        return ("none", "none", "none", "dense")
+    return "dense"
+
+
 def normalize_fuse_modes(mode, num_stages: int):
     """Per-stage MRF mode list from a string or sequence.
 

@@ -99,7 +99,7 @@ def main() -> None:
         mask_stats[preset.name] = {
             "reinfer_seconds": round(dt, 4),
             "reinfer_rtf": round(dt / seconds_audio, 5),
-            "mel_db_mad_vs_unmasked": round(float(np.mean(np.abs(masked_mel - base_mel))), 4),
+            "mel_db_mad_vs_unmasked": float(np.mean(np.abs(masked_mel - base_mel))),
             "audio_samples": int(audio_masked.shape[0]),
         }
 
