@@ -146,8 +146,15 @@ def default_fuse_mode(h: dict):
     Probe (tools/probe_fuse_modes.py, T=512, bf16): all-dense 25.1 ms,
     stage-3-only dense 17.6 ms, all-unfused 22.1 ms. The wide stages
     (256/128/64 branch channels) already fill the MXU lanes, so the dense
-    fusion's ~4.7x FLOP redundancy loses there; only the 32-channel final
-    stage profits from the 96-lane packing.
+    fusion's ~4.7x FLOP redundancy loses there; only the narrow final stage
+    profits from packing.
+
+    A Pallas whole-stage kernel (`ops/pallas_mrf.py`, fuse mode "pallas") was
+    measured too: it wins in isolation but LOSES in the full program
+    (n/n/n/pallas 20.3 ms vs n/n/n/dense 17.9 ms) — its per-tap `roll`
+    materialises every shifted view (~2.6 GB of on-chip shuffles per pass)
+    while XLA's native conv streams taps through the MXU for free. Kept as a
+    tested mode; dense stays the default (see docs/BENCH_NOTES.md).
     """
     rates = h.get("upsample_rates", [])
     if len(rates) == 4:
@@ -202,6 +209,15 @@ def fuse_mrf_params(folded_params: dict, h: dict, mode="dense") -> dict:
                 name = f"resblocks_{i * nb + j}"
                 out[name] = folded_params[name]
             continue
+        if modes[i] == "pallas":
+            from mri2speech_tpu.ops.pallas_mrf import pack_mrf_stage_params
+
+            out[f"mrf_{i}"] = pack_mrf_stage_params(
+                [folded_params[f"resblocks_{i * nb + j}"] for j in range(nb)],
+                kernels,
+                dils[0],
+            )
+            continue
         mode_i = modes[i]
         stage: dict = {}
         for u in range(len(dils[0])):
@@ -240,6 +256,44 @@ def fuse_mrf_params(folded_params: dict, h: dict, mode="dense") -> dict:
                 }
         out[f"mrf_{i}"] = stage
     return out
+
+
+class PallasMRFStage(nn.Module):
+    """Whole-stage fused MRF via the Pallas kernel (`ops/pallas_mrf.py`).
+
+    Inference transform like FusedMRFStage; params come from
+    `fuse_mrf_params(..., mode=[..,"pallas",..])` (per-shift block-diagonal
+    packing). Runs the compiled kernel on TPU, interpret mode elsewhere.
+    """
+
+    channels: int
+    kernels: Tuple[int, ...]
+    dilation: Tuple[int, ...] = (1, 3, 5)
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from mri2speech_tpu.ops.pallas_mrf import mrf_stage_pallas
+
+        nb, C, k_max = len(self.kernels), self.channels, max(self.kernels)
+        packed = {}
+        for u in range(len(self.dilation)):
+            for c in (1, 2):
+                packed[f"u{u}_c{c}_w"] = self.param(
+                    f"u{u}_c{c}_w", nn.initializers.zeros, (k_max, nb * C, nb * C)
+                )
+                packed[f"u{u}_c{c}_b"] = self.param(
+                    f"u{u}_c{c}_b", nn.initializers.zeros, (1, nb * C)
+                )
+        X = jnp.tile(x, (1, 1, nb))
+        return mrf_stage_pallas(
+            X,
+            packed,
+            channels=C,
+            kernels=tuple(self.kernels),
+            dils=tuple(self.dilation),
+            interpret=jax.default_backend() != "tpu",
+        )
 
 
 class Generator(nn.Module):
@@ -290,7 +344,15 @@ class Generator(nn.Module):
                 polyphase=self.fuse_mrf,  # inference-transformed path
                 dtype=self.dtype, name=f"ups_{i}",
             )(x)
-            if fuse_modes[i] != "none":
+            if fuse_modes[i] == "pallas":
+                x = PallasMRFStage(
+                    ch,
+                    tuple(h["resblock_kernel_sizes"]),
+                    tuple(h["resblock_dilation_sizes"][0]),
+                    dtype=self.dtype,
+                    name=f"mrf_{i}",
+                )(x)
+            elif fuse_modes[i] != "none":
                 x = FusedMRFStage(
                     ch,
                     max(h["resblock_kernel_sizes"]),

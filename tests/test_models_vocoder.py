@@ -180,7 +180,13 @@ def test_mpd_msd_shapes(rng):
 
 @pytest.mark.parametrize(
     "mode",
-    ["dense", "grouped", ("none", "dense", "none", "dense"), ("none",) * 4],
+    [
+        "dense",
+        "grouped",
+        ("none", "dense", "none", "dense"),
+        ("none",) * 4,
+        ("none", "none", "none", "pallas"),  # interpret-mode kernel on CPU
+    ],
 )
 def test_fused_mrf_matches_unfused(mode):
     """fuse_mrf transforms are output-identical to the 3-branch MRF."""

@@ -38,6 +38,9 @@ COMBOS = [
     ("none", "none", "dense", "dense"),
     ("none", "none", "none", "dense"),
     ("none", "none", "none", "none"),       # unfused (but polyphase ups)
+    ("none", "none", "none", "pallas"),     # Pallas fused-stage kernel
+    ("none", "none", "pallas", "pallas"),
+    ("none", "pallas", "pallas", "pallas"),
 ]
 
 
@@ -72,11 +75,11 @@ def main() -> None:
                                      jnp.float32(0.0))
 
         compiled = jax.jit(k_passes).lower(params, x).compile()
-        jax.block_until_ready(compiled(params, x))
+        float(compiled(params, x))  # warm; float() forces through the tunnel
         times = []
         for _ in range(REPEATS):
             t0 = time.perf_counter()
-            jax.block_until_ready(compiled(params, x))
+            float(compiled(params, x))
             times.append((time.perf_counter() - t0) / K)
         t = float(np.median(times)) * 1e3
         results.append((combo, t))
