@@ -221,6 +221,158 @@ def bilstm_recurrence_pallas(
     return ys_f.astype(out_dtype), ys_b.astype(out_dtype)
 
 
+def _bilstm_chunk_kernel(chunk: int):
+    """Chunked fused bidirectional kernel: each grid step advances BOTH cells
+    through `chunk` timesteps with an inner fori_loop — the recurrence is
+    per-step-latency bound, so amortising the grid-step overhead (block
+    bookkeeping, pipeline sync) over `chunk` steps is the lever."""
+
+    def kernel(xgf_ref, xgb_ref, whhf_ref, whhb_ref, outf_ref, outb_ref,
+               hf_ref, cf_ref, hb_ref, cb_ref):
+        t0 = pl.program_id(0)
+
+        @pl.when(t0 == 0)
+        def _():
+            hf_ref[:] = jnp.zeros_like(hf_ref)
+            cf_ref[:] = jnp.zeros_like(cf_ref)
+            hb_ref[:] = jnp.zeros_like(hb_ref)
+            cb_ref[:] = jnp.zeros_like(cb_ref)
+
+        H = hf_ref.shape[-1]
+
+        def cell(xg, h, c, whh):
+            gates = xg + jnp.dot(h, whh, preferred_element_type=jnp.float32)
+            i = jax.nn.sigmoid(gates[:, :H])
+            f = jax.nn.sigmoid(gates[:, H : 2 * H])
+            g = jnp.tanh(gates[:, 2 * H : 3 * H])
+            o = jax.nn.sigmoid(gates[:, 3 * H :])
+            c = f * c + i * g
+            h = o * jnp.tanh(c)
+            return h, c
+
+        del cell  # both directions advance through ONE paired matmul below
+        w_cat = jnp.concatenate([whhf_ref[:], whhb_ref[:]], axis=1)  # (H, 8H)
+        G = 4 * H
+        B_ = hf_ref.shape[0]
+        # gate math in (rows, 128) layout when possible: a (1, 4H) vector
+        # fills 1/8 of every vreg's sublanes, so the sigmoid/tanh chains (the
+        # per-step bottleneck at B=1) run 8x wider reshaped to (4H/128, 128)
+        reshape_gates = B_ == 1 and H % 128 == 0
+        R = H // 128 if reshape_gates else 0
+
+        def apply_gates(gates, c):
+            if reshape_gates:
+                g4 = gates.reshape(4 * R, 128)
+                i = jax.nn.sigmoid(g4[:R])
+                f = jax.nn.sigmoid(g4[R : 2 * R])
+                g = jnp.tanh(g4[2 * R : 3 * R])
+                o = jax.nn.sigmoid(g4[3 * R :])
+                cr = f * c.reshape(R, 128) + i * g
+                hr = o * jnp.tanh(cr)
+                return hr.reshape(B_, H), cr.reshape(B_, H)
+            i = jax.nn.sigmoid(gates[:, :H])
+            f = jax.nn.sigmoid(gates[:, H : 2 * H])
+            g = jnp.tanh(gates[:, 2 * H : 3 * H])
+            o = jax.nn.sigmoid(gates[:, 3 * H :])
+            c = f * c + i * g
+            return o * jnp.tanh(c), c
+
+        # static unroll: dynamic in-block indexing makes Mosaic allocate
+        # oversized scoped VMEM; static slices compile lean. The two
+        # directions share one (2B, H) x (H, 8H) matmul per step (the cross
+        # blocks are discarded) — half the sequential matmul count.
+        for t in range(chunk):
+            tb = chunk - 1 - t  # backward stream runs its block in reverse
+            h2 = jnp.concatenate([hf_ref[:], hb_ref[:]], axis=0)  # (2B, H)
+            g2 = jnp.dot(h2, w_cat, preferred_element_type=jnp.float32)
+            gates_f = xgf_ref[t] + g2[:B_, :G]
+            gates_b = xgb_ref[tb] + g2[B_:, G:]
+
+            hf, cf = apply_gates(gates_f, cf_ref[:])
+            hf_ref[:] = hf
+            cf_ref[:] = cf
+            outf_ref[t] = hf
+            hb, cb = apply_gates(gates_b, cb_ref[:])
+            hb_ref[:] = hb
+            cb_ref[:] = cb
+            outb_ref[tb] = hb
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def bilstm_recurrence_pallas_chunked(
+    xg_fwd: Array,
+    xg_bwd: Array,
+    w_hh_fwd: Array,
+    w_hh_bwd: Array,
+    mask: Optional[Array] = None,
+    *,
+    chunk: int = 32,
+    interpret: bool = False,
+):
+    """Chunked variant of :func:`bilstm_recurrence_pallas` (same semantics).
+
+    T must not be required to divide `chunk`: the streams are padded with
+    frozen-gate steps (exactly the masking encoding), which leave the carries
+    unchanged, and the padded outputs are sliced off.
+    """
+    T, B, G = xg_fwd.shape
+    H = w_hh_fwd.shape[0]
+    assert G == 4 * H
+
+    out_dtype = xg_fwd.dtype
+    xg_fwd = xg_fwd.astype(jnp.float32)
+    xg_bwd = xg_bwd.astype(jnp.float32)
+    if mask is not None:
+        xg_fwd = _freeze_padded_steps(xg_fwd, mask, H)
+        xg_bwd = _freeze_padded_steps(xg_bwd, mask, H)
+
+    Tp = ((T + chunk - 1) // chunk) * chunk
+    if Tp != T:
+        pad = np.concatenate([np.full(H, v, np.float32) for v in _GATE_FREEZE])
+        pad_block = jnp.broadcast_to(
+            jnp.asarray(pad, jnp.float32), (Tp - T, B, 4 * H)
+        )
+        # forward: padding AFTER the sequence (processed last, outputs sliced
+        # off); backward stream is indexed from the array end, so its padding
+        # sits at the FRONT — also processed last in its reversed order
+        xg_fwd = jnp.concatenate([xg_fwd, pad_block], axis=0)
+        xg_bwd = jnp.concatenate([pad_block, xg_bwd], axis=0)
+
+    n_chunks = Tp // chunk
+    fwd_idx = lambda i: (i, 0, 0)                    # noqa: E731
+    bwd_idx = lambda i: (n_chunks - 1 - i, 0, 0)     # noqa: E731
+    w_idx = lambda i: (0, 0)                         # noqa: E731
+
+    ys_f, ys_b = pl.pallas_call(
+        _bilstm_chunk_kernel(chunk),
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((chunk, B, 4 * H), fwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, B, 4 * H), bwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), w_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 4 * H), w_idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((chunk, B, H), fwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, B, H), bwd_idx, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Tp, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, B, H), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xg_fwd, xg_bwd, w_hh_fwd.astype(jnp.float32), w_hh_bwd.astype(jnp.float32))
+    return ys_f[:T].astype(out_dtype), ys_b[Tp - T :].astype(out_dtype)
+
+
 def bilstm_sum_pallas(
     x_seq: Array,
     params: dict,
@@ -242,7 +394,7 @@ def bilstm_sum_pallas(
         "b_bwd"
     ].astype(dt)
     m = None if mask is None else jnp.swapaxes(mask, 0, 1)
-    ys_f, ys_b = bilstm_recurrence_pallas(
+    ys_f, ys_b = bilstm_recurrence_pallas_chunked(
         jnp.swapaxes(xg_f, 0, 1),
         jnp.swapaxes(xg_b, 0, 1),
         params["w_hh_fwd"],

@@ -94,3 +94,31 @@ def test_fused_bilstm_matches_scan(rng):
         )
     )
     np.testing.assert_allclose(out_m[:, :5], ref_m[:, :5], atol=1e-5, rtol=1e-4)
+
+
+def test_chunked_bilstm_matches_unchunked_multichunk(rng):
+    """Chunked grid (inner fori_loop over time) == per-step grid, across
+    multiple chunks with a ragged tail and a trailing-padded mask."""
+    from mri2speech_tpu.ops.pallas_lstm import (
+        bilstm_recurrence_pallas,
+        bilstm_recurrence_pallas_chunked,
+    )
+
+    T, B, H = 70, 2, 8
+    xg_f = (rng.standard_normal((T, B, 4 * H)) * 0.4).astype(np.float32)
+    xg_b = (rng.standard_normal((T, B, 4 * H)) * 0.4).astype(np.float32)
+    whh_f = (rng.standard_normal((H, 4 * H)) * 0.2).astype(np.float32)
+    whh_b = (rng.standard_normal((H, 4 * H)) * 0.2).astype(np.float32)
+    mask = np.ones((T, B), np.float32)
+    mask[60:] = 0.0
+
+    rf, rb = bilstm_recurrence_pallas(
+        jnp.asarray(xg_f), jnp.asarray(xg_b), jnp.asarray(whh_f),
+        jnp.asarray(whh_b), jnp.asarray(mask), interpret=True,
+    )
+    cf, cb = bilstm_recurrence_pallas_chunked(
+        jnp.asarray(xg_f), jnp.asarray(xg_b), jnp.asarray(whh_f),
+        jnp.asarray(whh_b), jnp.asarray(mask), chunk=32, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(cf)[:60], np.asarray(rf)[:60], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cb)[:60], np.asarray(rb)[:60], atol=1e-6)
