@@ -209,7 +209,7 @@ def fuse_mrf_params(folded_params: dict, h: dict, mode="dense") -> dict:
                 name = f"resblocks_{i * nb + j}"
                 out[name] = folded_params[name]
             continue
-        if modes[i] == "pallas":
+        if modes[i] in ("pallas", "pallas2"):
             from mri2speech_tpu.ops.pallas_mrf import pack_mrf_stage_params
 
             out[f"mrf_{i}"] = pack_mrf_stage_params(
@@ -269,11 +269,15 @@ class PallasMRFStage(nn.Module):
     channels: int
     kernels: Tuple[int, ...]
     dilation: Tuple[int, ...] = (1, 3, 5)
+    variant: str = "pallas"  # "pallas" (roll-based v1) | "pallas2" (scratch-slice v2)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        from mri2speech_tpu.ops.pallas_mrf import mrf_stage_pallas
+        from mri2speech_tpu.ops.pallas_mrf import (
+            mrf_stage_pallas,
+            mrf_stage_pallas_v2,
+        )
 
         nb, C, k_max = len(self.kernels), self.channels, max(self.kernels)
         packed = {}
@@ -285,6 +289,16 @@ class PallasMRFStage(nn.Module):
                 packed[f"u{u}_c{c}_b"] = self.param(
                     f"u{u}_c{c}_b", nn.initializers.zeros, (1, nb * C)
                 )
+        interpret = jax.default_backend() != "tpu"
+        if self.variant == "pallas2":
+            return mrf_stage_pallas_v2(
+                x,
+                packed,
+                channels=C,
+                kernels=tuple(self.kernels),
+                dils=tuple(self.dilation),
+                interpret=interpret,
+            )
         X = jnp.tile(x, (1, 1, nb))
         return mrf_stage_pallas(
             X,
@@ -292,7 +306,7 @@ class PallasMRFStage(nn.Module):
             channels=C,
             kernels=tuple(self.kernels),
             dils=tuple(self.dilation),
-            interpret=jax.default_backend() != "tpu",
+            interpret=interpret,
         )
 
 
@@ -344,11 +358,12 @@ class Generator(nn.Module):
                 polyphase=self.fuse_mrf,  # inference-transformed path
                 dtype=self.dtype, name=f"ups_{i}",
             )(x)
-            if fuse_modes[i] == "pallas":
+            if fuse_modes[i] in ("pallas", "pallas2"):
                 x = PallasMRFStage(
                     ch,
                     tuple(h["resblock_kernel_sizes"]),
                     tuple(h["resblock_dilation_sizes"][0]),
+                    variant=fuse_modes[i],
                     dtype=self.dtype,
                     name=f"mrf_{i}",
                 )(x)

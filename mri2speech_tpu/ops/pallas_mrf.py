@@ -28,7 +28,7 @@ Internal math: fp32 activations, bf16 MXU operands with fp32 accumulation
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -160,6 +160,189 @@ def _make_kernel(
         out_ref[:] = avg[HALO:].astype(out_ref.dtype)
 
     return kernel
+
+
+def _make_kernel_v2(
+    channels: int, kernels: Tuple[int, ...], dils: Tuple[int, ...], mxu_dtype,
+    tile: int, pad: int,
+):
+    """v2 kernel body: scratch-resident state + static-offset tap loads.
+
+    v1 materialises every tap shift with `pltpu.roll` over the full
+    (tile+HALO, 3C) activation — ~2.6 GB of on-chip shuffles per generator
+    pass — and needs a zero-padded HBM copy of x for tile 0's halo. Here the
+    unit input lives in a VMEM scratch ref with `pad` leading zero rows, and
+    tap m of a dilation-d conv is the STATIC ref slice
+    ``s[pad - m*d : pad - m*d + EXT]`` — the sublane shift happens inside the
+    load that already feeds the MXU, with no shifted copy kept live.
+
+    The branch tiling (x -> [x,x,x]) and the final branch average also move
+    in-kernel as tiny matmuls against iota-built selector matrices, so the
+    kernel streams the COMPACT (T, C) tensors over HBM instead of (T, 3C).
+    """
+    nb = len(kernels)
+    C = channels
+    NBC = nb * C
+    k_max = max(kernels)
+    EXT = tile + HALO
+
+    def kernel(halo_ref, main_ref, *refs):
+        n_w = 2 * len(dils)
+        w_refs = refs[: 2 * n_w : 2]
+        b_refs = refs[1 : 2 * n_w : 2]
+        out_ref = refs[2 * n_w]
+        s_cur = refs[2 * n_w + 1]  # residual stream, (pad + EXT, NBC) fp32
+        s_act = refs[2 * n_w + 2]  # activated conv input, same shape
+
+        first = pl.program_id(0) == 0
+        # tile 0's halo block is a CLAMPED re-read of rows [0, HALO) — zero it
+        # so it acts as the causal zero padding (no padded HBM copy needed)
+        halo = jnp.where(first, 0.0, halo_ref[:].astype(jnp.float32))
+        x = jnp.concatenate([halo, main_ref[:].astype(jnp.float32)], axis=0)
+
+        # branch tiling x -> [x|x|x] as a matmul against the (C, NBC)
+        # selector T3[i, j] = 1 iff j % C == i (iota-built; C is a power of 2)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (C, NBC), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (C, NBC), 1)
+        t3 = (jnp.remainder(ci, C) == ri).astype(jnp.float32)
+        s_cur[:pad] = jnp.zeros((pad, NBC), jnp.float32)
+        s_cur[pad:] = jax.lax.dot(x, t3, preferred_element_type=jnp.float32)
+        s_act[:pad] = jnp.zeros((pad, NBC), jnp.float32)
+
+        # pre-sequence mask (same role as v1): tile 0's halo rows must stay
+        # literal zero through the residual chain
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (EXT, 1), 0)
+        start = jnp.where(first, HALO, 0)
+        valid = (row_ids >= start).astype(jnp.float32)
+
+        def conv_from_scratch(w_ref, b_ref, dil: int) -> Array:
+            acc = jnp.dot(
+                s_act[pad : pad + EXT].astype(mxu_dtype),
+                w_ref[0].astype(mxu_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            for m in range(1, k_max):
+                o = pad - m * dil
+                acc = acc + jnp.dot(
+                    s_act[o : o + EXT].astype(mxu_dtype),
+                    w_ref[m].astype(mxu_dtype),
+                    preferred_element_type=jnp.float32,
+                )
+            return acc + b_ref[:].astype(jnp.float32)
+
+        ri2 = 0
+        for d in dils:
+            s_act[pad:] = _leaky(s_cur[pad:])
+            y = conv_from_scratch(w_refs[ri2], b_refs[ri2], d) * valid
+            ri2 += 1
+            s_act[pad:] = _leaky(y)
+            y2 = conv_from_scratch(w_refs[ri2], b_refs[ri2], 1) * valid
+            ri2 += 1
+            s_cur[pad:] = s_cur[pad:] + y2
+
+        # branch average as a matmul against the (NBC, C) selector A/nb
+        ra = jax.lax.broadcasted_iota(jnp.int32, (NBC, C), 0)
+        ca = jax.lax.broadcasted_iota(jnp.int32, (NBC, C), 1)
+        avg_m = (jnp.remainder(ra, C) == ca).astype(jnp.float32) * (1.0 / nb)
+        out = jax.lax.dot(
+            s_cur[pad + HALO :], avg_m, preferred_element_type=jnp.float32
+        )
+        out_ref[:] = out.astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("channels", "kernels", "dils", "interpret", "mxu_dtype", "tile"),
+)
+def mrf_stage_pallas_v2(
+    x: Array,
+    packed: dict,
+    *,
+    channels: int,
+    kernels: Tuple[int, ...] = (3, 7, 11),
+    dils: Tuple[int, ...] = (1, 3, 5),
+    interpret: bool = False,
+    mxu_dtype=jnp.bfloat16,
+    tile: Optional[int] = None,
+) -> Array:
+    """(B, T, C) -> (B, T, C) whole-MRF-stage, v2 kernel (see _make_kernel_v2).
+
+    Unlike v1 this takes the COMPACT per-branch input (no jnp.tile on the
+    caller side) and returns x.dtype directly; `packed` is the same
+    :func:`pack_mrf_stage_params` layout.
+    """
+    nb = len(kernels)
+    C = channels
+    NBC = nb * C
+    k_max = max(kernels)
+    assert x.shape[-1] == C, (x.shape, C)
+    rf = stage_receptive_field(kernels, dils)
+    assert rf <= HALO
+    # leading scratch pad must cover the largest single-conv tap reach
+    pad = -(-max((k_max - 1) * d for d in dils) // 8) * 8
+    B, T = x.shape[0], x.shape[1]
+
+    tile_ = tile or _tile_rows(NBC)
+    Tp = ((T + tile_ - 1) // tile_) * tile_
+    n_tiles = Tp // tile_
+    if Tp != T:
+        x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+    if tile_ % HALO:
+        raise ValueError(f"tile {tile_} must be a multiple of HALO={HALO}")
+    hpt = tile_ // HALO
+
+    w_in_specs = []
+    w_args = []
+    for u in range(len(dils)):
+        for c in (1, 2):
+            w_in_specs.append(
+                pl.BlockSpec((k_max, NBC, NBC), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            w_in_specs.append(
+                pl.BlockSpec((1, NBC), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            )
+            w_args.append(jnp.asarray(packed[f"u{u}_c{c}_w"]))
+            w_args.append(jnp.asarray(packed[f"u{u}_c{c}_b"]))
+
+    # tap matrices live in VMEM for the whole kernel: store them directly in
+    # the MXU operand dtype (halves VMEM + HBM traffic vs fp32 at bf16)
+    for idx in range(0, len(w_args), 2):
+        w_args[idx] = w_args[idx].astype(mxu_dtype)
+
+    kern = _make_kernel_v2(C, tuple(kernels), tuple(dils), mxu_dtype, tile_, pad)
+    EXTP = pad + tile_ + HALO
+
+    outs = []
+    for b in range(B):
+        y = pl.pallas_call(
+            kern,
+            grid=(n_tiles,),
+            in_specs=[
+                # halo rows [i*tile-HALO, i*tile); tile 0 clamps to rows
+                # [0, HALO) and the kernel zeroes them (causal padding)
+                pl.BlockSpec(
+                    (HALO, C),
+                    lambda i: (jnp.maximum(i * hpt - 1, 0), 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((tile_, C), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                *w_in_specs,
+            ],
+            out_specs=pl.BlockSpec((tile_, C), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Tp, C), x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((EXTP, NBC), jnp.float32),
+                pltpu.VMEM((EXTP, NBC), jnp.float32),
+            ],
+            interpret=interpret,
+        )(x[b], x[b], *w_args)
+        outs.append(y[:T])
+    return jnp.stack(outs)
 
 
 @functools.partial(

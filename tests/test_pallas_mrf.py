@@ -9,6 +9,7 @@ from mri2speech_tpu.models.vocoder import ResBlock1
 from mri2speech_tpu.ops.pallas_mrf import (
     _tile_rows,
     mrf_stage_pallas,
+    mrf_stage_pallas_v2,
     pack_mrf_stage_params,
     stage_receptive_field,
 )
@@ -79,6 +80,54 @@ def test_pallas_mrf_matches_resblock_stack(T):
         )
     )
     np.testing.assert_allclose(out32, ref, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("T", [64, TILE + 200])  # sub-tile and multi-tile + ragged
+def test_pallas_mrf_v2_matches_resblock_stack(T):
+    C = 32
+    rng = np.random.default_rng(1)
+    resblocks = _random_resblocks(rng, C)
+    x = (rng.standard_normal((1, T, C)) * 0.5).astype(np.float32)
+
+    ref = np.asarray(_stage_reference(jnp.asarray(x), resblocks, C))
+
+    packed = pack_mrf_stage_params(resblocks, KERNELS, DILS)
+    out = np.asarray(
+        mrf_stage_pallas_v2(
+            jnp.asarray(x), packed, channels=C, kernels=KERNELS, dils=DILS,
+            interpret=True,
+        )
+    )
+    assert out.shape == ref.shape == (1, T, C)
+    tol = 3e-3 * float(np.abs(ref).max())
+    np.testing.assert_allclose(out, ref, atol=max(tol, 1e-3), rtol=0)
+
+    # fp32 MXU operands: structural exactness (slices, halo clamp, masking)
+    out32 = np.asarray(
+        mrf_stage_pallas_v2(
+            jnp.asarray(x), packed, channels=C, kernels=KERNELS, dils=DILS,
+            interpret=True, mxu_dtype=jnp.float32,
+        )
+    )
+    np.testing.assert_allclose(out32, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_mrf_v2_bf16_io_and_batch2():
+    C = 32
+    rng = np.random.default_rng(4)
+    resblocks = _random_resblocks(rng, C)
+    x = (rng.standard_normal((2, 96, C)) * 0.5).astype(np.float32)
+    ref = np.asarray(_stage_reference(jnp.asarray(x), resblocks, C))
+    packed = pack_mrf_stage_params(resblocks, KERNELS, DILS)
+    out = np.asarray(
+        mrf_stage_pallas_v2(
+            jnp.asarray(x, jnp.bfloat16), packed, channels=C, kernels=KERNELS,
+            dils=DILS, interpret=True,
+        ).astype(jnp.float32)
+    )
+    assert out.shape == ref.shape
+    tol = 2e-2 * float(np.abs(ref).max())  # bf16 input + output rounding
+    np.testing.assert_allclose(out, ref, atol=max(tol, 5e-3), rtol=0)
 
 
 def test_pallas_mrf_batch2():

@@ -38,9 +38,12 @@ COMBOS = [
     ("none", "none", "dense", "dense"),
     ("none", "none", "none", "dense"),
     ("none", "none", "none", "none"),       # unfused (but polyphase ups)
-    ("none", "none", "none", "pallas"),     # Pallas fused-stage kernel
+    ("none", "none", "none", "pallas"),     # Pallas fused-stage kernel (v1, rolls)
     ("none", "none", "pallas", "pallas"),
-    ("none", "pallas", "pallas", "pallas"),
+    ("none", "none", "none", "pallas2"),    # v2: scratch-slice taps, compact IO
+    ("none", "none", "pallas2", "pallas2"),
+    # NOTE: stage-1 pallas combos OOM scoped VMEM: NBC=384 packed tap
+    # matrices are 6 x (11,384,384) = 19 MB even in bf16 > the 16 MB budget.
 ]
 
 
