@@ -96,7 +96,7 @@ def timed_stage(body, args, *, k: int = 8, repeats: int = REPEATS, on_tpu: bool)
 
 def build_pipeline(dtype=None, lstm_impl="scan") -> VideoToSpeechPipeline:
     rng = jax.random.PRNGKey(0)
-    acoustic = AcousticModel(dtype=dtype, lstm_impl=lstm_impl)
+    acoustic = AcousticModel(dtype=dtype, lstm_impl=lstm_impl, stem_s2d=True)
     # jitted inits: one compiled program instead of hundreds of eager ops
     variables = jax.jit(
         lambda r: acoustic.init(r, jnp.zeros((1, 2, 1, 256, 256)), train=False)

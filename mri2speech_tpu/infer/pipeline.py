@@ -242,6 +242,7 @@ def build_pipeline_from_checkpoints(
         n_mels=n_mels, rnn_hidden=rnn_hidden, dropout=dropout, dtype=dtype,
         cnn_spec=cnn_spec, cnn_stem=cnn_stem,
         lstm_impl="pallas" if jax.default_backend() == "tpu" else "scan",
+        stem_s2d=True,  # exact rewrite; engages on even-sized 1ch frames
     )
     obj = ckpt_io.load_checkpoint_raw(mri_checkpoint)
     params = obj.get("params", obj.get("model_state_dict", obj))

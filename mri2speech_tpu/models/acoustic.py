@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mri2speech_tpu.models.effnetv2 import EffNetV2Features
+from mri2speech_tpu.models.effnetv2 import EffNetV2Features, stem_s2d_applicable
 from mri2speech_tpu.models.lstm import BiLSTMSumMerge
 
 Array = jax.Array
@@ -56,6 +56,7 @@ class AcousticModel(nn.Module):
     cnn_spec: Optional[tuple] = None
     cnn_stem: Optional[int] = None
     lstm_impl: str = "scan"  # "pallas" for the VMEM-resident inference kernel
+    stem_s2d: bool = False  # exact space-to-depth stem (see effnetv2.py)
     dtype: Optional[jnp.dtype] = None
 
     def setup(self) -> None:
@@ -64,7 +65,9 @@ class AcousticModel(nn.Module):
             cnn_kwargs["spec"] = self.cnn_spec
         if self.cnn_stem is not None:
             cnn_kwargs["stem_channels"] = self.cnn_stem
-        self.cnn = EffNetV2Features(dtype=self.dtype, name="cnn", **cnn_kwargs)
+        self.cnn = EffNetV2Features(
+            stem_s2d=self.stem_s2d, dtype=self.dtype, name="cnn", **cnn_kwargs
+        )
         self.rnn = BiLSTMSumMerge(
             self.rnn_hidden, impl=self.lstm_impl, dtype=self.dtype, name="rnn"
         )
@@ -85,7 +88,12 @@ class AcousticModel(nn.Module):
             raise ValueError(f"Expected (B,T,1,H,W) or (B,T,H,W), got {x.shape}")
         B, T = x.shape[0], x.shape[1]
         frames = jnp.transpose(x.reshape(B * T, *x.shape[2:]), (0, 2, 3, 1))
-        if frames.shape[-1] == 1:
+        # 1->3 broadcast (`mri_acoustic_model.py:41-44`) — skipped exactly when
+        # the s2d stem engages (its replicated-channel kernel fold makes the
+        # broadcast redundant; see effnetv2._StemConvS2D)
+        if frames.shape[-1] == 1 and not stem_s2d_applicable(
+            frames.shape, self.stem_s2d
+        ):
             frames = jnp.broadcast_to(frames, frames.shape[:-1] + (3,))
         if self.dtype is not None:
             frames = frames.astype(self.dtype)

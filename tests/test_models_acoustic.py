@@ -106,3 +106,38 @@ def test_forward_with_features_consistency():
     assert feats.shape == (3, 2, 2, EFFNETV2_B2_FEATURE_DIM)
     plain = m.apply(vars_, x, train=False)
     np.testing.assert_allclose(np.asarray(pred), np.asarray(plain), atol=1e-5)
+
+
+def test_stem_s2d_exact_parity():
+    """Space-to-depth stem (skip-broadcast + folded kernel) == plain stem.
+
+    Exact arithmetic rearrangement of `mri_acoustic_model.py:41-44` (1->3
+    broadcast) + the timm-layout 3x3/s2 stem; same param tree either way.
+    """
+    from mri2speech_tpu.models.effnetv2 import StageSpec
+
+    spec = (
+        StageSpec("cn", 3, 1, 1, 8, 1),
+        StageSpec("er", 3, 2, 2, 16, 1),
+    )
+    kw = dict(n_mels=8, rnn_hidden=16, dropout=0.0, cnn_spec=spec, cnn_stem=8)
+    m_plain = AcousticModel(**kw)
+    m_s2d = AcousticModel(stem_s2d=True, **kw)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 3, 1, 32, 32)), jnp.float32)
+    variables = m_plain.init(jax.random.PRNGKey(0), x, train=False)
+
+    y_plain = m_plain.apply(variables, x, train=False)
+    y_s2d = m_s2d.apply(variables, x, train=False)  # same tree, same shapes
+    np.testing.assert_allclose(
+        np.asarray(y_s2d), np.asarray(y_plain), rtol=1e-5, atol=1e-5
+    )
+
+    # odd H/W falls back to the plain path (broadcast + 3x3/s2) bit-for-bit
+    x_odd = jnp.asarray(rng.random((1, 2, 1, 31, 31)), jnp.float32)
+    v_odd = m_plain.init(jax.random.PRNGKey(1), x_odd, train=False)
+    np.testing.assert_array_equal(
+        np.asarray(m_s2d.apply(v_odd, x_odd, train=False)),
+        np.asarray(m_plain.apply(v_odd, x_odd, train=False)),
+    )
