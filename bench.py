@@ -253,6 +253,31 @@ def main() -> None:
         generator_body, (pipeline.generator_params, x_mel), on_tpu=on_tpu
     )
 
+    # ---- opt-in int8 serving mode (LOSSY; ops/quant.py): speed + error ----
+    gen_q = Generator(
+        h=pipeline.generator.h, use_weight_norm=False, fuse_mrf=True,
+        fuse_mode=default_fuse_mode(pipeline.generator.h), quantize_mrf=True,
+        dtype=dtype,
+    )
+
+    def generator_q_body(acc, p, x):
+        audio = gen_q.apply({"params": p}, x + acc.astype(x.dtype) * 1e-3)
+        return audio[0, 0, 0].astype(jnp.float32) * 1e-30 + acc
+
+    generator_q_stats = timed_stage(
+        generator_q_body, (pipeline.generator_params, x_mel), on_tpu=on_tpu
+    )
+    wav_f = jax.jit(
+        lambda p, x: pipeline.generator.apply({"params": p}, x)
+    )(pipeline.generator_params, x_mel)
+    wav_q = jax.jit(lambda p, x: gen_q.apply({"params": p}, x))(
+        pipeline.generator_params, x_mel
+    )
+    wav_f, wav_q = np.asarray(wav_f, np.float32), np.asarray(wav_q, np.float32)
+    generator_q_stats["wav_rel_l2_vs_float"] = float(
+        np.linalg.norm(wav_q - wav_f) / (np.linalg.norm(wav_f) + 1e-12)
+    )
+
     # ---- mel numerical parity vs the PyTorch CPU reference (BASELINE.md) ----
     mel_l1_rel = mel_parity_vs_torch()
 
@@ -290,6 +315,7 @@ def main() -> None:
                     "fused": fused,
                     "acoustic": acoustic_stats,
                     "generator": generator_stats,
+                    "generator_int8": generator_q_stats,
                 },
             }
         )

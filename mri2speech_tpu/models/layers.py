@@ -78,6 +78,7 @@ class Conv1d(nn.Module):
     spectral_norm: bool = False
     use_bias: bool = True
     kernel_init: Optional[object] = None  # None -> torch default
+    quantize: bool = False  # int8 MXU path (opt-in lossy; see ops/quant.py)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -105,9 +106,16 @@ class Conv1d(nn.Module):
         )
 
         dtype = self.dtype or x.dtype
+        lo, hi = _as_pair(self.padding)
+        if self.quantize and self.stride == 1 and self.groups == 1:
+            from mri2speech_tpu.ops.quant import conv1d_int8
+
+            return conv1d_int8(
+                x, w, b, dilation=self.dilation, padding=(lo, hi),
+                out_dtype=dtype,
+            )
         x = x.astype(dtype)
         w = w.astype(dtype)
-        lo, hi = _as_pair(self.padding)
         y = jax.lax.conv_general_dilated(
             x,
             w,

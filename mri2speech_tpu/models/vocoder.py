@@ -52,6 +52,7 @@ class ResBlock1(nn.Module):
     kernel_size: int = 3
     dilation: Tuple[int, ...] = (1, 3, 5)
     use_weight_norm: bool = True
+    quantize: bool = False  # int8 conv path (opt-in lossy; ops/quant.py)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -62,13 +63,13 @@ class ResBlock1(nn.Module):
             xt = Conv1d(
                 self.channels, k, dilation=d, padding=(d * (k - 1), 0),
                 weight_norm=self.use_weight_norm, kernel_init=normal_init(0.01),
-                dtype=self.dtype, name=f"convs1_{i}",
+                quantize=self.quantize, dtype=self.dtype, name=f"convs1_{i}",
             )(xt)
             xt = leaky_relu(xt, LRELU_SLOPE)
             xt = Conv1d(
                 self.channels, k, dilation=1, padding=(k - 1, 0),
                 weight_norm=self.use_weight_norm, kernel_init=normal_init(0.01),
-                dtype=self.dtype, name=f"convs2_{i}",
+                quantize=self.quantize, dtype=self.dtype, name=f"convs2_{i}",
             )(xt)
             x = x + xt
         return x
@@ -81,6 +82,7 @@ class ResBlock2(nn.Module):
     kernel_size: int = 3
     dilation: Tuple[int, ...] = (1, 3)
     use_weight_norm: bool = True
+    quantize: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -91,7 +93,7 @@ class ResBlock2(nn.Module):
             xt = Conv1d(
                 self.channels, k, dilation=d, padding=(d * (k - 1), 0),
                 weight_norm=self.use_weight_norm, kernel_init=normal_init(0.01),
-                dtype=self.dtype, name=f"convs_{i}",
+                quantize=self.quantize, dtype=self.dtype, name=f"convs_{i}",
             )(xt)
             x = x + xt
         return x
@@ -117,6 +119,7 @@ class FusedMRFStage(nn.Module):
     mode: str = "dense"            # "dense" (block-diagonal, fastest measured)
     #                                or "grouped" (fewest FLOPs; XLA lowers
     #                                grouped convs poorly on current TPUs)
+    quantize: bool = False         # int8 conv path (opt-in lossy; ops/quant.py)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -128,12 +131,12 @@ class FusedMRFStage(nn.Module):
             xt = leaky_relu(X, LRELU_SLOPE)
             xt = Conv1d(
                 nb * ch, k, dilation=d, padding=(d * (k - 1), 0), groups=groups,
-                dtype=self.dtype, name=f"u{u}_conv1",
+                quantize=self.quantize, dtype=self.dtype, name=f"u{u}_conv1",
             )(xt)
             xt = leaky_relu(xt, LRELU_SLOPE)
             xt = Conv1d(
                 nb * ch, k, dilation=1, padding=(k - 1, 0), groups=groups,
-                dtype=self.dtype, name=f"u{u}_conv2",
+                quantize=self.quantize, dtype=self.dtype, name=f"u{u}_conv2",
             )(xt)
             X = X + xt
         B, T, _ = X.shape
@@ -325,6 +328,8 @@ class Generator(nn.Module):
     use_weight_norm: bool = True  # False after fold_weight_norm (inference)
     fuse_mrf: bool = False
     fuse_mode: Any = "dense"  # str, or per-stage tuple with "none" opt-outs
+    quantize_mrf: bool = False  # int8 MRF convs (opt-in LOSSY serving mode;
+    #                             measured speed/error in docs/BENCH_NOTES.md)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -374,6 +379,7 @@ class Generator(nn.Module):
                     tuple(h["resblock_dilation_sizes"][0]),
                     num_branches=num_kernels,
                     mode=fuse_modes[i],
+                    quantize=self.quantize_mrf,
                     dtype=self.dtype,
                     name=f"mrf_{i}",
                 )(x)
@@ -384,6 +390,7 @@ class Generator(nn.Module):
                 ):
                     r = resblock_cls(
                         ch, rk, tuple(rd), use_weight_norm=self.use_weight_norm,
+                        quantize=self.quantize_mrf,
                         dtype=self.dtype, name=f"resblocks_{i * num_kernels + j}",
                     )(x)
                     xs = r if xs is None else xs + r
