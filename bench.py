@@ -47,14 +47,20 @@ V5E_PEAK_FLOPS_BF16 = 197e12
 V5E_PEAK_HBM_BPS = 819e9
 
 
-def _cost_analysis(compiled, k: int = 1):
-    """(flops, bytes) per pass from an XLA Compiled, NaN-safe across jax versions."""
+def _cost_analysis(compiled):
+    """(flops, bytes) per pass from an XLA Compiled, NaN-safe across jax versions.
+
+    XLA's cost_analysis counts a while/fori loop BODY exactly once regardless
+    of trip count (verified against single-pass lowerings on both CPU and
+    TPU), so the K-loop executable's numbers already ARE per-pass — do NOT
+    divide by K.
+    """
     try:
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops = float(ca.get("flops", float("nan"))) / k
-        byts = float(ca.get("bytes accessed", float("nan"))) / k
+        flops = float(ca.get("flops", float("nan")))
+        byts = float(ca.get("bytes accessed", float("nan")))
         return flops, byts
     except Exception:
         return float("nan"), float("nan")
@@ -63,25 +69,30 @@ def _cost_analysis(compiled, k: int = 1):
 def timed_stage(body, args, *, k: int = 8, repeats: int = REPEATS, on_tpu: bool):
     """Time + cost-account one pipeline stage.
 
-    `body(acc, *args) -> scalar` must depend on `acc` (loop carry) so the K
-    chained passes inside one executable cannot be hoisted by XLA; K passes
-    amortise the ~50 ms tunnel dispatch latency so the number measures the
-    DEVICE. Returns seconds/pass, GFLOPs/pass, achieved TFLOP/s, HBM GB/s, and
-    %-of-v5e-peak (MFU vs bf16 peak, HBM vs 819 GB/s) when on_tpu.
+    `body(acc, *args) -> scalar` must thread `acc` (the loop carry) into
+    EVERY large input it consumes — not just one of them. XLA's
+    while-loop-invariant code motion hoists any sub-graph whose inputs are
+    loop-invariant: a body that perturbs only the mask lets the whole CNN be
+    computed ONCE outside the loop, silently amortising it by K (this
+    exact bug overstated the round-1/2 headline RTF ~2x; see BENCH_NOTES).
+    K chained passes amortise the ~50 ms tunnel dispatch latency so the
+    number measures the DEVICE; the result is fetched with float() (forced),
+    not block_until_ready. Returns seconds/pass, GFLOPs/pass, achieved
+    TFLOP/s, HBM GB/s, and %-of-v5e-peak when on_tpu.
     """
 
     def k_passes(*a):
         return jax.lax.fori_loop(0, k, lambda i, acc: body(acc, *a), jnp.float32(0.0))
 
     compiled = jax.jit(k_passes).lower(*args).compile()
-    jax.block_until_ready(compiled(*args))  # warm
+    float(compiled(*args))  # warm + force through the tunnel
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(compiled(*args))
+        float(compiled(*args))
         times.append((time.perf_counter() - t0) / k)
     t = float(np.median(times))
-    flops, byts = _cost_analysis(compiled, k)
+    flops, byts = _cost_analysis(compiled)
     out = {
         "seconds": t,
         "gflops": flops / 1e9,
@@ -218,7 +229,10 @@ def main() -> None:
     m_dev = jax.device_put(jnp.asarray(mask))
 
     def fused_body(acc, v, p, x, m):
-        audio, _, _ = pipeline._forward(v, p, x, m + acc * 1e-30)
+        # carry -> FRAMES (not just mask): keeps the CNN inside the loop
+        # (uint8 + 0 is exact; see timed_stage docstring on LICM)
+        xx = x + (acc * 0).astype(x.dtype)
+        audio, _, _ = pipeline._forward(v, p, xx, m + acc * 1e-30)
         return audio[0, 0, 0].astype(jnp.float32) * 1e-30 + acc
 
     fused = timed_stage(
@@ -230,7 +244,7 @@ def main() -> None:
 
     # stage split: acoustic (uint8 normalise + CNN + BiLSTM) vs generator
     def acoustic_body(acc, v, x, m):
-        g = pipeline._normalize_frames(x)
+        g = pipeline._normalize_frames(x + (acc * 0).astype(x.dtype))
         pred = pipeline.acoustic_model.apply(v, g, train=False, mask=m + acc * 1e-30)
         return pred[0, 0, 0].astype(jnp.float32) * 1e-30 + acc
 

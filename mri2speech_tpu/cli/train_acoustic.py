@@ -66,6 +66,12 @@ def main() -> None:
                     help="Accepted for reference-CLI compat; no-op under XLA remat.")
     ap.add_argument("--bf16", action="store_true", help="bfloat16 compute.")
     ap.add_argument(
+        "--stem_s2d", action="store_true",
+        help="Space-to-depth stem conv (EXACT rewrite, faster on TPU; see "
+             "models/effnetv2.py). Off by default to match the reference "
+             "layout bit-for-bit.",
+    )
+    ap.add_argument(
         "--num_devices", type=int, default=1,
         help="Data-parallel device count; 0 = all available, 1 = single "
              "device (the reference's acoustic trainer is single-device; DP "
@@ -88,6 +94,7 @@ def main() -> None:
         rnn_hidden=640,
         dropout=0.5,
         use_checkpoint=args.use_checkpoint,
+        stem_s2d=args.stem_s2d,
         dtype=jnp.bfloat16 if args.bf16 else None,
     )
     if args.cnn_pretrained:

@@ -222,6 +222,7 @@ def build_pipeline_from_checkpoints(
     frame_bucket: int = 64,
     fuse_mrf: bool = True,
     streaming: bool = False,
+    quantize: bool = False,
     cnn_spec=None,
     cnn_stem=None,
     dtype=None,
@@ -256,10 +257,19 @@ def build_pipeline_from_checkpoints(
             gen_params = fuse_mrf_params(gen_params, generator.h, mode=mode)
             generator = Generator(
                 h=generator.h, use_weight_norm=False, fuse_mrf=True,
-                fuse_mode=mode, dtype=dtype,
+                fuse_mode=mode, quantize_mrf=quantize, dtype=dtype,
             )
         except ValueError:
-            pass  # non-'1' resblock configs fall back to the unfused stack
+            if quantize:
+                generator = Generator(
+                    h=generator.h, use_weight_norm=False, quantize_mrf=True,
+                    dtype=dtype,
+                )
+            # non-'1' resblock configs fall back to the unfused stack
+    elif quantize:
+        generator = Generator(
+            h=generator.h, use_weight_norm=False, quantize_mrf=True, dtype=dtype
+        )
     return VideoToSpeechPipeline(
         model, variables, generator, gen_params, scaler,
         frame_bucket=frame_bucket, streaming=streaming,
@@ -313,6 +323,12 @@ def main() -> None:
              "per-block CNN compute (bit-identical output; lower latency when "
              "transfer and compute are comparable).",
     )
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="int8-quantized vocoder MRF convs (LOSSY opt-in serving mode; "
+             "~1.4%% waveform rel-L2 vs the exact path — see ops/quant.py "
+             "and docs/BENCH_NOTES.md).",
+    )
     args = parser.parse_args()
 
     video_path = Path(args.video)
@@ -324,7 +340,7 @@ def main() -> None:
         args.mri_checkpoint, args.scaler_json, args.hifigan_config,
         args.hifigan_checkpoint, n_mels=args.n_mels, rnn_hidden=args.rnn_hidden,
         dropout=args.dropout, frame_bucket=args.frame_bucket,
-        streaming=args.streaming,
+        streaming=args.streaming, quantize=args.int8,
     )
     audio, stats = pipeline.timed_run(frames)
     _, mel_db, mel_log = pipeline(frames)

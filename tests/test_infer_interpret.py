@@ -318,3 +318,44 @@ def test_build_pipeline_from_checkpoints_roundtrip(tmp_path, tiny_setup):
     audio, mel_db, _ = pipe(frames)
     assert audio.shape == (6 * 420,)
     assert np.all(np.isfinite(audio))
+
+
+def test_build_pipeline_quantized_close_to_exact(tmp_path, tiny_setup):
+    """--int8 serving mode: same pipeline surface, bounded waveform delta."""
+    import json as _json
+
+    from mri2speech_tpu.infer.pipeline import build_pipeline_from_checkpoints
+    from mri2speech_tpu.train import checkpoint as ckpt_io
+
+    acoustic, variables, gen, gen_params, scaler, h = tiny_setup
+    ckpt_io.save_checkpoint(
+        str(tmp_path / "acoustic.ckpt"),
+        {
+            "params": jax.device_get(variables["params"]),
+            "batch_stats": jax.device_get(variables.get("batch_stats", {})),
+        },
+    )
+    gen_wn = Generator(h=h)
+    params_wn = gen_wn.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 4)))["params"]
+    ckpt_io.save_checkpoint(
+        str(tmp_path / "g_00000001"), {"generator": jax.device_get(params_wn)}
+    )
+    scaler.save(tmp_path / "scaler.json")
+    (tmp_path / "config.json").write_text(_json.dumps(h))
+
+    kw = dict(
+        rnn_hidden=16, frame_bucket=8, cnn_spec=TINY_SPEC, cnn_stem=8,
+    )
+    paths = (
+        str(tmp_path / "acoustic.ckpt"), str(tmp_path / "scaler.json"),
+        str(tmp_path / "config.json"), str(tmp_path / "g_00000001"),
+    )
+    pipe_f = build_pipeline_from_checkpoints(*paths, **kw)
+    pipe_q = build_pipeline_from_checkpoints(*paths, quantize=True, **kw)
+    frames = np.random.default_rng(9).random((6, 64, 64)).astype(np.float32)
+    audio_f, _, _ = pipe_f(frames)
+    audio_q, _, _ = pipe_q(frames)
+    assert audio_q.shape == audio_f.shape
+    assert np.all(np.isfinite(audio_q))
+    rel = np.linalg.norm(audio_q - audio_f) / (np.linalg.norm(audio_f) + 1e-12)
+    assert rel < 0.05, rel

@@ -39,8 +39,18 @@ V5E_PEAK_FLOPS_BF16 = 197e12
 V5E_PEAK_HBM_BPS = 819e9
 
 
-def _cost_fields(lowered, step_s: float) -> dict:
-    """FLOPs/bandwidth accounting from XLA cost_analysis (see bench.py)."""
+K_STEPS = 8
+
+
+def _cost_fields(lowered, step_s: float, note: str = "") -> dict:
+    """FLOPs/bandwidth accounting from XLA cost_analysis.
+
+    CAVEAT (measured, see bench.py): cost_analysis counts any lax loop BODY
+    exactly once regardless of trip count. Callers must therefore lower a
+    program whose inner loops have trip count 1 (e.g. micro_batch == batch
+    for the acoustic trainer) for the numbers to mean per-step work; inner
+    recurrences (the BiLSTM scan) remain undercounted — noted in `flops_note`.
+    """
     try:
         ca = lowered.compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
@@ -54,6 +64,8 @@ def _cost_fields(lowered, step_s: float) -> dict:
         "achieved_tflops": flops / step_s / 1e12,
         "hbm_gb_per_s": byts / step_s / 1e9,
     }
+    if note:
+        out["flops_note"] = note
     if jax.default_backend() == "tpu":
         out["mfu_pct"] = 100.0 * flops / step_s / V5E_PEAK_FLOPS_BF16
         out["hbm_pct"] = 100.0 * byts / step_s / V5E_PEAK_HBM_BPS
@@ -61,6 +73,13 @@ def _cost_fields(lowered, step_s: float) -> dict:
 
 
 def bench_acoustic(use_bf16: bool, repeats: int = 5) -> dict:
+    """K chained optimizer steps inside ONE executable, result force-fetched.
+
+    Chaining the state through the loop makes every pass depend on the carry
+    (params change each step), so XLA cannot hoist anything; float() forces
+    completion (block_until_ready is unreliable through the axon tunnel and
+    per-step fetches would add the ~50 ms RTT to every step).
+    """
     B, T, HW = 8, 4, 256
     rng = np.random.default_rng(0)
     batch = {
@@ -75,16 +94,24 @@ def bench_acoustic(use_bf16: bool, repeats: int = 5) -> dict:
     state = trainer.init_state(batch)
     micro = {k: jnp.asarray(v) for k, v in _reshape_micro(batch, 2).items()}
     micro = jax.device_put(micro)
-
     lr = jnp.float32(1e-4)
-    state, _ = trainer._train_step(state, micro, lr, jax.random.PRNGKey(0))
-    jax.block_until_ready(state.params)
+
+    def k_steps(state, micro, lr, key):
+        def body(i, carry):
+            st, ky = carry
+            ky = jax.random.fold_in(ky, i)
+            st, _ = trainer._train_step_fn(st, micro, lr, ky)
+            return (st, ky)
+        st, _ = jax.lax.fori_loop(0, K_STEPS, body, (state, key))
+        return st.global_step
+
+    compiled = jax.jit(k_steps).lower(state, micro, lr, jax.random.PRNGKey(0)).compile()
+    float(compiled(state, micro, lr, jax.random.PRNGKey(0)))  # warm + force
     times = []
     for i in range(repeats):
         t0 = time.perf_counter()
-        state, metrics = trainer._train_step(state, micro, lr, jax.random.PRNGKey(i))
-        jax.block_until_ready(state.params)
-        times.append(time.perf_counter() - t0)
+        float(compiled(state, micro, lr, jax.random.PRNGKey(i)))
+        times.append((time.perf_counter() - t0) / K_STEPS)
     step_s = float(np.median(times))
     out = {
         "metric": "acoustic_train_step_seconds",
@@ -95,10 +122,20 @@ def bench_acoustic(use_bf16: bool, repeats: int = 5) -> dict:
         "mel_frames_per_sec_train": B * T / step_s,
         "dtype": "bf16" if use_bf16 else "f32",
     }
+    # FLOPs accounting: micro_batch == batch so the accumulation scan has
+    # trip count 1 (same arithmetic per step; see _cost_fields caveat)
+    trainer_ca = AcousticTrainer(model, AcousticTrainerConfig(micro_batch_size=B))
+    state_ca = trainer_ca.init_state(batch)
+    micro_ca = jax.device_put(
+        {k: jnp.asarray(v) for k, v in _reshape_micro(batch, B).items()}
+    )
     out.update(
         _cost_fields(
-            trainer._train_step.lower(state, micro, lr, jax.random.PRNGKey(0)),
+            jax.jit(trainer_ca._train_step_fn).lower(
+                state_ca, micro_ca, lr, jax.random.PRNGKey(0)
+            ),
             step_s,
+            note="BiLSTM recurrence scan undercounted (body counted once)",
         )
     )
     return out
@@ -110,16 +147,44 @@ def bench_vocoder(repeats: int = 3, bf16: bool = False) -> dict:
     state = trainer.init_state(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     B = h["batch_size"]
-    audio = (rng.standard_normal((B, h["segment_size"])).astype(np.float32) * 0.1).clip(-1, 1)
-    batch = {"audio": audio, "mel": None}
-    state, _ = trainer.train_step(state, batch)
-    jax.block_until_ready(state.gen_params)
+    audio = jnp.asarray(
+        (rng.standard_normal((B, h["segment_size"])).astype(np.float32) * 0.1).clip(-1, 1)
+    )
+    lr_g = jnp.float32(trainer.sched_g.lr)
+    lr_d = jnp.float32(trainer.sched_d.lr)
+
+    def k_steps(state, audio, lr_g, lr_d):
+        def body(i, st):
+            st, _ = trainer._train_step_fn(
+                st, audio, None, lr_g, lr_d, fine_tuning=False
+            )
+            return st
+        st = jax.lax.fori_loop(0, K_STEPS, body, state)
+        return jax.tree_util.tree_leaves(st.gen_params)[0].reshape(-1)[0].astype(jnp.float32)
+
     times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        state, metrics = trainer.train_step(state, batch)
-        jax.block_until_ready(state.gen_params)
-        times.append(time.perf_counter() - t0)
+    try:
+        compiled = jax.jit(k_steps).lower(state, audio, lr_g, lr_d).compile()
+        float(compiled(state, audio, lr_g, lr_d))  # warm + force
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(compiled(state, audio, lr_g, lr_d))
+            times.append((time.perf_counter() - t0) / K_STEPS)
+    except Exception:
+        # the bf16 D+G step inside a fori carry crashes this XLA's compiler
+        # (SIGABRT in layout assignment); fall back to HOST-pipelined chained
+        # steps through the trainer's own jitted wrapper (which compiles):
+        # K async dispatches, ONE forced metric fetch at the end — dispatch
+        # streams, so no ~50 ms RTT per step is added
+        batch = {"audio": np.asarray(audio), "mel": None}
+        state, m = trainer.train_step(state, batch)  # warm/compile
+        float(m["loss_gen_all"])
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            for _i in range(K_STEPS):
+                state, m = trainer.train_step(state, batch)
+            float(m["loss_gen_all"])
+            times.append((time.perf_counter() - t0) / K_STEPS)
     step_s = float(np.median(times))
     out = {
         "metric": "vocoder_gan_step_seconds",
@@ -131,10 +196,8 @@ def bench_vocoder(repeats: int = 3, bf16: bool = False) -> dict:
     }
     out.update(
         _cost_fields(
-            trainer._train_step.lower(
-                state, jnp.asarray(audio), None,
-                jnp.float32(trainer.sched_g.lr), jnp.float32(trainer.sched_d.lr),
-                fine_tuning=False,
+            jax.jit(trainer._train_step_fn, static_argnames=("fine_tuning",)).lower(
+                state, audio, None, lr_g, lr_d, fine_tuning=False
             ),
             step_s,
         )
