@@ -57,6 +57,7 @@ class AcousticModel(nn.Module):
     cnn_stem: Optional[int] = None
     lstm_impl: str = "scan"  # "pallas" for the VMEM-resident inference kernel
     stem_s2d: bool = False  # exact space-to-depth stem (see effnetv2.py)
+    fuse_ir: bool = False  # Pallas fused MBConv blocks (inference transform)
     dtype: Optional[jnp.dtype] = None
 
     def setup(self) -> None:
@@ -66,7 +67,8 @@ class AcousticModel(nn.Module):
         if self.cnn_stem is not None:
             cnn_kwargs["stem_channels"] = self.cnn_stem
         self.cnn = EffNetV2Features(
-            stem_s2d=self.stem_s2d, dtype=self.dtype, name="cnn", **cnn_kwargs
+            stem_s2d=self.stem_s2d, fuse_ir=self.fuse_ir,
+            dtype=self.dtype, name="cnn", **cnn_kwargs
         )
         self.rnn = BiLSTMSumMerge(
             self.rnn_hidden, impl=self.lstm_impl, dtype=self.dtype, name="rnn"

@@ -169,6 +169,111 @@ class InvertedResidual(nn.Module):
         return y
 
 
+class _ConvParamShell(nn.Module):
+    """Declares an nn.Conv-compatible param tree without the conv op."""
+
+    shape: Tuple[int, ...]
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", _conv_init, self.shape)
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+            if self.use_bias
+            else None
+        )
+        return k, b
+
+
+class _BnParamShell(nn.Module):
+    """Declares an nn.BatchNorm-compatible param/batch_stats tree."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable(
+            "batch_stats", "mean", nn.initializers.zeros, None, (self.features,)
+        )
+        var = self.variable(
+            "batch_stats", "var", nn.initializers.ones, None, (self.features,)
+        )
+        return scale, bias, mean.value, var.value
+
+
+class _SEParamShell(nn.Module):
+    """SqueezeExcite-compatible param tree (reduce/expand 1x1 convs)."""
+
+    in_features: int
+    reduced: int
+
+    @nn.compact
+    def __call__(self):
+        wr = _ConvParamShell(
+            (1, 1, self.in_features, self.reduced), use_bias=True, name="reduce"
+        )()
+        we = _ConvParamShell(
+            (1, 1, self.reduced, self.in_features), use_bias=True, name="expand"
+        )()
+        return wr, we
+
+
+class _FusedMBConv(nn.Module):
+    """Stride-1 SE MBConv in the fused Pallas form (inference transform).
+
+    Parameter tree is IDENTICAL to :class:`InvertedResidual` (conv_pw / bn1 /
+    conv_dw / bn2 / se.reduce / se.expand / conv_pwl / bn3), so checkpoints
+    and converters are unaffected; BatchNorms are inference-folded into the
+    matmul weights on the fly and the whole block runs as one VMEM-resident
+    Pallas kernel (`ops/pallas_mbconv.py`) — one HBM read + one write per
+    block instead of 4-5 passes over the 6x-expanded intermediates.
+    """
+
+    channels: int
+    expand: int
+    se_ratio: float
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        from mri2speech_tpu.ops.pallas_mbconv import fold_bn, mbconv_block_pallas
+
+        assert not train, "_FusedMBConv is an inference transform"
+        B, H, W, C = x.shape
+        mid = C * self.expand
+        reduced = max(1, int(C * self.se_ratio))
+
+        w_pw, _ = _ConvParamShell((1, 1, C, mid), name="conv_pw")()
+        bn1 = _BnParamShell(mid, name="bn1")()
+        w_dw, _ = _ConvParamShell((3, 3, 1, mid), name="conv_dw")()
+        bn2 = _BnParamShell(mid, name="bn2")()
+        (wr, br), (we, be) = _SEParamShell(mid, reduced, name="se")()
+        w_pwl, _ = _ConvParamShell((1, 1, mid, C), name="conv_pwl")()
+        bn3 = _BnParamShell(C, name="bn3")()
+
+        m1, a1 = fold_bn(*bn1)
+        m2, a2 = fold_bn(*bn2)
+        m3, a3 = fold_bn(*bn3)
+        params = {
+            "w1": w_pw.reshape(C, mid) * m1[None, :],
+            "b1": a1,
+            "wd": (w_dw.reshape(9, mid) * m2[None, :]).reshape(3, 3, mid),
+            "bd": a2,
+            "wr": wr.reshape(mid, reduced),
+            "br": br,
+            "we": we.reshape(reduced, mid),
+            "be": be,
+            "w3": w_pwl.reshape(mid, C) * m3[None, :],
+            "b3": a3,
+        }
+        return mbconv_block_pallas(
+            x, params, interpret=jax.default_backend() != "tpu"
+        )
+
+
 def stem_s2d_applicable(frame_shape, flag: bool) -> bool:
     """s2d stem engages only for 1-channel frames with even H, W.
 
@@ -247,6 +352,7 @@ class EffNetV2Features(nn.Module):
     spec: Sequence[StageSpec] = EFFNETV2_B2_SPEC
     stem_channels: int = EFFNETV2_B2_STEM
     stem_s2d: bool = False
+    fuse_ir: bool = False  # Pallas fused MBConv blocks (inference transform)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -266,6 +372,17 @@ class EffNetV2Features(nn.Module):
                 elif st.block == "er":
                     y = EdgeResidual(
                         st.channels, st.kernel, stride, st.expand, self.dtype, name=name
+                    )(y, train)
+                elif (
+                    self.fuse_ir
+                    and not train
+                    and stride == 1
+                    and y.shape[-1] == st.channels
+                    and st.kernel == 3
+                    and st.se_ratio > 0
+                ):
+                    y = _FusedMBConv(
+                        st.channels, st.expand, st.se_ratio, self.dtype, name=name
                     )(y, train)
                 else:
                     y = InvertedResidual(
