@@ -300,7 +300,9 @@ def main() -> None:
     # compute, audio-only device->host fetch
     pipeline.infer_audio(frames_u8)  # warm the streaming programs
     e2e_times = []
-    for _ in range(REPEATS):
+    # more repeats than the device loops: this path rides the tunnel, whose
+    # transfer time swings 2x+ run-to-run — a 9-sample median damps outliers
+    for _ in range(9):
         t0 = time.perf_counter()
         pipeline.infer_audio(frames_u8)
         e2e_times.append(time.perf_counter() - t0)
