@@ -387,3 +387,44 @@ def test_bilstm_sum_merge_vs_reference_module(ref_acoustic, rng):
     m = BiLSTMSumMerge(hidden_size=H)
     y = m.apply({"params": params["rnn"]}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(y), y_ref, atol=2e-5, rtol=0)
+
+
+def test_generator_parity_resblock2(ref_models, ref_config):
+    """The fork's ResBlock2 variant (`models.py:58-85`, h.resblock == "2").
+
+    config_custom.json uses resblock "1", but the fork (like upstream
+    HiFi-GAN) supports the lighter 2-conv blocks; prove the causal-conv
+    rewrite + converter on real torch weights for that family too.
+    """
+    from convert_torch_checkpoint import convert_generator
+
+    h = dict(ref_config)
+    h.update(
+        resblock="2",
+        resblock_kernel_sizes=[3, 5, 7],
+        resblock_dilation_sizes=[[1, 3], [2, 6], [3, 12]],
+        upsample_initial_channel=64,
+    )
+
+    class _AD(dict):
+        def __getattr__(self, k):
+            return self[k]
+
+    torch.manual_seed(99)
+    gen_t = ref_models.Generator(_AD(h))
+    gen_t.eval()
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((1, 64, 5)).astype(np.float32)
+    with torch.no_grad():
+        y_ref = gen_t(torch.from_numpy(x)).numpy()
+    assert y_ref.shape == (1, 1, 5 * 420)
+    params = convert_generator(gen_t.state_dict())
+
+    g = Generator(h=h, use_weight_norm=True)
+    y = g.apply({"params": params}, jnp.asarray(x))
+    _assert_close(y, y_ref, atol=2e-4)
+
+    folded = L.fold_weight_norm(params)
+    g2 = Generator(h=h, use_weight_norm=False)
+    y2 = g2.apply({"params": folded}, jnp.asarray(x))
+    _assert_close(y2, y_ref, atol=2e-4)
