@@ -223,3 +223,23 @@ def test_polyphase_conv_transpose_matches_module(rng, k, u):
     )
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_default_fuse_mode_and_normalization():
+    """Pin the measured-best serving layout and the mode-list contract."""
+    from mri2speech_tpu.config import default_vocoder_config
+    from mri2speech_tpu.models.vocoder import default_fuse_mode, normalize_fuse_modes
+
+    h = dict(default_vocoder_config())
+    assert default_fuse_mode(h) == ("none", "none", "none", "dense")
+
+    # non-4-stage configs fall back to uniform dense
+    h2 = dict(h, upsample_rates=[8, 8, 4])
+    assert default_fuse_mode(h2) == "dense"
+
+    assert normalize_fuse_modes("dense", 4) == ["dense"] * 4
+    assert normalize_fuse_modes(("none", "pallas", "pallas2", "dense"), 4) == [
+        "none", "pallas", "pallas2", "dense",
+    ]
+    with pytest.raises(ValueError):
+        normalize_fuse_modes(("dense",), 4)
