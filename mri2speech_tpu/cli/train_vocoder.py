@@ -75,7 +75,13 @@ def run_training(a: argparse.Namespace, h: AttrDict) -> None:
     if mesh is not None:
         print(f"[MESH] data-parallel over {mesh.shape['data']} devices")
     trainer = VocoderTrainer(
-        h, VocoderTrainerConfig(fine_tuning=a.fine_tuning), mesh=mesh
+        h,
+        VocoderTrainerConfig(
+            fine_tuning=a.fine_tuning,
+            bf16=getattr(a, "bf16", False),
+            bf16_opt_state=getattr(a, "bf16_opt_state", False),
+        ),
+        mesh=mesh,
     )
     state = trainer.init_state(jax.random.PRNGKey(h.seed))
 
@@ -202,6 +208,17 @@ def main() -> None:
     parser.add_argument("--fine_tuning", action="store_true")
     parser.add_argument("--extra_mels_dir", default=None)
     parser.add_argument("--extra_mels_weight", default=0.0, type=float)
+    parser.add_argument(
+        "--bf16", action="store_true",
+        help="bfloat16 G/D forwards (fp32 params/losses/grads). Measured "
+             "~7%% faster than fp32 on v5e — the GAN step is bound by the "
+             "discriminator conv shapes, not MXU rate (docs/BENCH_NOTES.md).",
+    )
+    parser.add_argument(
+        "--bf16_opt_state", action="store_true",
+        help="Store AdaBelief moments in bf16 (fp32 master params; see "
+             "train/optim.py). Halves optimizer-state HBM footprint/traffic.",
+    )
     parser.add_argument(
         "--num_devices", default=0, type=int,
         help="Data-parallel device count; 0 = all available (reference "

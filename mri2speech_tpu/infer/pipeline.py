@@ -226,6 +226,7 @@ def build_pipeline_from_checkpoints(
     cnn_spec=None,
     cnn_stem=None,
     dtype=None,
+    stem_s2d: bool = True,
 ) -> VideoToSpeechPipeline:
     from mri2speech_tpu.infer.vocoder_io import load_generator
     from mri2speech_tpu.models.vocoder import (
@@ -243,7 +244,9 @@ def build_pipeline_from_checkpoints(
         n_mels=n_mels, rnn_hidden=rnn_hidden, dropout=dropout, dtype=dtype,
         cnn_spec=cnn_spec, cnn_stem=cnn_stem,
         lstm_impl="pallas" if jax.default_backend() == "tpu" else "scan",
-        stem_s2d=True,  # exact rewrite; engages on even-sized 1ch frames
+        # exact fp rewrite (engages on even-sized 1ch frames); pass
+        # stem_s2d=False for a serving path bit-for-bit with training's default
+        stem_s2d=stem_s2d,
     )
     obj = ckpt_io.load_checkpoint_raw(mri_checkpoint)
     params = obj.get("params", obj.get("model_state_dict", obj))

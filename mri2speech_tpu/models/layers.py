@@ -107,12 +107,20 @@ class Conv1d(nn.Module):
 
         dtype = self.dtype or x.dtype
         lo, hi = _as_pair(self.padding)
-        if self.quantize and self.stride == 1 and self.groups == 1:
-            from mri2speech_tpu.ops.quant import conv1d_int8
+        if self.quantize:
+            if self.stride == 1 and self.groups == 1:
+                from mri2speech_tpu.ops.quant import conv1d_int8
 
-            return conv1d_int8(
-                x, w, b, dilation=self.dilation, padding=(lo, hi),
-                out_dtype=dtype,
+                return conv1d_int8(
+                    x, w, b, dilation=self.dilation, padding=(lo, hi),
+                    out_dtype=dtype,
+                )
+            import warnings
+
+            warnings.warn(
+                f"Conv1d(quantize=True) has no int8 path for stride="
+                f"{self.stride}/groups={self.groups}; running unquantized.",
+                stacklevel=2,
             )
         x = x.astype(dtype)
         w = w.astype(dtype)

@@ -59,9 +59,18 @@ class GanState(struct.PyTreeNode):
     opt_d: Any
 
 
-def _adabelief(lr: float) -> optax.GradientTransformation:
-    return optax.inject_hyperparams(optax.adabelief)(
-        learning_rate=lr, b1=0.8, b2=0.99, eps=1e-16, eps_root=1e-16
+def _adabelief(lr: float, state_dtype=None) -> optax.GradientTransformation:
+    """Reference AdaBelief hyperparameters (`train.py:64-71`).
+
+    `state_dtype=jnp.bfloat16` stores the two moment trees in bf16 (fp32
+    master params and fp32 update math — see train/optim.py); None is
+    bit-identical to `optax.adabelief`.
+    """
+    from mri2speech_tpu.train import optim
+
+    return optax.inject_hyperparams(optim.adabelief, static_args=("state_dtype",))(
+        learning_rate=lr, b1=0.8, b2=0.99, eps=1e-16, eps_root=1e-16,
+        state_dtype=state_dtype,
     )
 
 
@@ -70,6 +79,9 @@ class VocoderTrainerConfig:
     fine_tuning: bool = False
     seed: int = 1234
     bf16: bool = False  # bfloat16 compute for G/D forwards (fp32 params/losses)
+    # bf16 AdaBelief moment storage (fp32 master params; halves optimizer-state
+    # HBM traffic on a step measured at 95.8% HBM — docs/BENCH_NOTES.md)
+    bf16_opt_state: bool = False
     # None = auto: sharded orbax checkpoints when the mesh spans >1 process
     use_orbax: Optional[bool] = None
 
@@ -99,8 +111,9 @@ class VocoderTrainer:
             if config.use_orbax is not None
             else jax.process_count() > 1
         )
-        self.tx_g = _adabelief(self.h["learning_rate"])
-        self.tx_d = _adabelief(self.h["learning_rate"])
+        opt_dtype = jnp.bfloat16 if config.bf16_opt_state else None
+        self.tx_g = _adabelief(self.h["learning_rate"], state_dtype=opt_dtype)
+        self.tx_d = _adabelief(self.h["learning_rate"], state_dtype=opt_dtype)
         self.sched_g = ReduceLROnPlateau(self.h["learning_rate"], factor=0.1, patience=4)
         self.sched_d = ReduceLROnPlateau(self.h["learning_rate"], factor=0.1, patience=4)
         self._train_step = jax.jit(

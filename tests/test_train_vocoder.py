@@ -91,3 +91,70 @@ def test_gan_train_step_bf16():
     # params remain fp32
     leaf = jax.tree_util.tree_leaves(state.gen_params)[0]
     assert leaf.dtype == jnp.float32
+
+
+def test_adabelief_matches_optax():
+    """train/optim.py fp32 path is BIT-IDENTICAL to optax.adabelief over
+    multiple steps; the bf16-state path tracks it to bf16 quantisation error."""
+    import optax
+
+    from mri2speech_tpu.train.optim import adabelief
+
+    rng = np.random.default_rng(0)
+    params = {
+        "a": jnp.asarray(rng.standard_normal((17, 33)), jnp.float32),
+        "b": jnp.asarray(rng.standard_normal((5,)), jnp.float32),
+    }
+    tx_ref = optax.adabelief(2e-4, b1=0.8, b2=0.99, eps=1e-16, eps_root=1e-16)
+    tx_new = adabelief(2e-4, b1=0.8, b2=0.99, eps=1e-16, eps_root=1e-16)
+    tx_bf = adabelief(
+        2e-4, b1=0.8, b2=0.99, eps=1e-16, eps_root=1e-16,
+        state_dtype=jnp.bfloat16,
+    )
+    s_ref, s_new, s_bf = tx_ref.init(params), tx_new.init(params), tx_bf.init(params)
+    p_ref, p_new, p_bf = params, params, params
+    for _ in range(5):
+        g = {
+            k: jnp.asarray(rng.standard_normal(v.shape), jnp.float32) * 0.1
+            for k, v in params.items()
+        }
+        u, s_ref = tx_ref.update(g, s_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, u)
+        u, s_new = tx_new.update(g, s_new, p_new)
+        p_new = optax.apply_updates(p_new, u)
+        u, s_bf = tx_bf.update(g, s_bf, p_bf)
+        p_bf = optax.apply_updates(p_bf, u)
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(p_ref[k]), np.asarray(p_new[k]))
+        rel = np.linalg.norm(np.asarray(p_bf[k]) - np.asarray(p_ref[k])) / (
+            np.linalg.norm(np.asarray(p_ref[k])) + 1e-12
+        )
+        assert rel < 1e-4, f"bf16-state drift too large for {k}: {rel}"
+    assert jax.tree_util.tree_leaves(s_bf[0].mu)[0].dtype == jnp.bfloat16
+
+
+def test_gan_train_step_bf16_opt_state(tmp_path):
+    """bf16 AdaBelief moments: step runs, params stay fp32 masters, moments are
+    bf16, and the g_/do_ checkpoint roundtrip preserves the reduced dtype."""
+    t = VocoderTrainer(
+        default_vocoder_config(upsample_initial_channel=32, segment_size=8400),
+        VocoderTrainerConfig(bf16_opt_state=True),
+    )
+    state = t.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal((2, 8400)).astype(np.float32) * 0.1).clip(-1, 1)
+    state, metrics = t.train_step(state, {"audio": audio, "mel": None})
+    assert np.isfinite(float(metrics["loss_gen_all"]))
+    assert jax.tree_util.tree_leaves(state.gen_params)[0].dtype == jnp.float32
+    mu = state.opt_g.inner_state[0].mu
+    assert jax.tree_util.tree_leaves(mu)[0].dtype == jnp.bfloat16
+
+    t.save(str(tmp_path), state, steps=7, epoch=0)
+    restored, steps, _ = t.resume(str(tmp_path), t.init_state(jax.random.PRNGKey(1)))
+    assert steps == 8
+    r_mu = jax.tree_util.tree_leaves(restored.opt_g.inner_state[0].mu)
+    assert r_mu[0].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(r_mu[0], np.float32),
+        np.asarray(jax.tree_util.tree_leaves(mu)[0], np.float32),
+    )

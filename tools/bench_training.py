@@ -141,9 +141,11 @@ def bench_acoustic(use_bf16: bool, repeats: int = 5) -> dict:
     return out
 
 
-def bench_vocoder(repeats: int = 3, bf16: bool = False) -> dict:
+def bench_vocoder(repeats: int = 3, bf16: bool = False, bf16_opt: bool = False) -> dict:
     h = default_vocoder_config()
-    trainer = VocoderTrainer(h, VocoderTrainerConfig(fine_tuning=False, bf16=bf16))
+    trainer = VocoderTrainer(
+        h, VocoderTrainerConfig(fine_tuning=False, bf16=bf16, bf16_opt_state=bf16_opt)
+    )
     state = trainer.init_state(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     B = h["batch_size"]
@@ -162,20 +164,27 @@ def bench_vocoder(repeats: int = 3, bf16: bool = False) -> dict:
         st = jax.lax.fori_loop(0, K_STEPS, body, state)
         return jax.tree_util.tree_leaves(st.gen_params)[0].reshape(-1)[0].astype(jnp.float32)
 
-    times = []
+    # only the lower/compile/warm phase may fall back; once the fused loop is
+    # warm the timed loop runs outside the try so one median never mixes the
+    # two methodologies
+    compiled = None
     try:
         compiled = jax.jit(k_steps).lower(state, audio, lr_g, lr_d).compile()
         float(compiled(state, audio, lr_g, lr_d))  # warm + force
+    except Exception:
+        # the bf16 D+G step inside a fori carry crashes this XLA's compiler
+        # (SIGABRT in layout assignment; see docs/BENCH_NOTES.md); fall back to
+        # HOST-pipelined chained steps through the trainer's own jitted wrapper
+        # (which compiles): K async dispatches, ONE forced metric fetch at the
+        # end — dispatch streams, so no ~50 ms RTT per step is added
+        compiled = None
+    times = []
+    if compiled is not None:
         for _ in range(repeats):
             t0 = time.perf_counter()
             float(compiled(state, audio, lr_g, lr_d))
             times.append((time.perf_counter() - t0) / K_STEPS)
-    except Exception:
-        # the bf16 D+G step inside a fori carry crashes this XLA's compiler
-        # (SIGABRT in layout assignment); fall back to HOST-pipelined chained
-        # steps through the trainer's own jitted wrapper (which compiles):
-        # K async dispatches, ONE forced metric fetch at the end — dispatch
-        # streams, so no ~50 ms RTT per step is added
+    else:
         batch = {"audio": np.asarray(audio), "mel": None}
         state, m = trainer.train_step(state, batch)  # warm/compile
         float(m["loss_gen_all"])
@@ -192,6 +201,8 @@ def bench_vocoder(repeats: int = 3, bf16: bool = False) -> dict:
         "unit": "s/step",
         "batch": B,
         "dtype": "bf16" if bf16 else "f32",
+        "opt_state_dtype": "bf16" if bf16_opt else "f32",
+        "methodology": "fused_k_loop" if compiled is not None else "host_pipelined",
         "audio_seconds_per_sec_train": B * h["segment_size"] / h["sampling_rate"] / step_s,
     }
     out.update(
@@ -214,9 +225,10 @@ def main() -> None:
     v["backend"] = backend
     print(json.dumps(v))
     if backend == "tpu":
-        vb = bench_vocoder(bf16=True)
-        vb["backend"] = backend
-        print(json.dumps(vb))
+        for kw in ({"bf16": True}, {"bf16_opt": True}, {"bf16": True, "bf16_opt": True}):
+            vb = bench_vocoder(**kw)
+            vb["backend"] = backend
+            print(json.dumps(vb))
 
 
 if __name__ == "__main__":
