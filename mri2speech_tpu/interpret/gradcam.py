@@ -89,6 +89,18 @@ def _cam_from_grads(feats: Array, grads: Array, B: int, T: int, target_hw) -> Ar
     return cam.reshape(B, T, *target_hw)
 
 
+def compute_cnn_features(model, variables: dict, frames: np.ndarray):
+    """Upload frames once and run the CNN forward once; the returned device
+    feature map can be shared by every band's `compute_gradcam` call (the
+    target bands only differ after the feature split)."""
+    if frames.ndim == 3:
+        frames = frames[None, :, None, :, :]
+    x = jnp.asarray(frames, dtype=jnp.float32)
+    return jax.jit(
+        lambda v, xx: model.apply(v, xx, train=False, method=model.cnn_features)
+    )(jax.device_put(variables), x)
+
+
 def compute_gradcam(
     model,
     variables: dict,
@@ -99,8 +111,12 @@ def compute_gradcam(
     *,
     reduction: str = "mean",
     frame_indices: Optional[Iterable[int]] = None,
+    feats=None,
 ) -> GradCAMOutputs:
-    """frames: (1, T, 1, H, W) or (T, H, W). Batch size 1, like the reference."""
+    """frames: (1, T, 1, H, W) or (T, H, W). Batch size 1, like the reference.
+
+    `feats`: optional precomputed `compute_cnn_features` output — skips the
+    per-band frame upload + CNN forward when sweeping multiple bands."""
     if reduction not in {"mean", "sum"}:
         raise ValueError("Reduction must be 'mean' or 'sum'.")
     if frames.ndim == 3:
@@ -109,15 +125,13 @@ def compute_gradcam(
     if B != 1:
         raise ValueError("Grad-CAM helper currently supports batch size 1.")
     target_hw = (frames.shape[-2], frames.shape[-1])
-    x = jnp.asarray(frames, dtype=jnp.float32)
     mean = jnp.asarray(mel_mean)
     std = jnp.asarray(mel_std)
     band_idx = jnp.asarray(np.asarray(band_indices), dtype=jnp.int32)
 
     variables = jax.device_put(variables)
-    feats = jax.jit(
-        lambda v, xx: model.apply(v, xx, train=False, method=model.cnn_features)
-    )(variables, x)
+    if feats is None:
+        feats = compute_cnn_features(model, variables, frames)
 
     def band_power(v, f):
         pred = model.apply(v, f, B, T, train=False, method=model.head_from_features)
@@ -135,21 +149,37 @@ def compute_gradcam(
         return _cam_from_grads(f, grads, B, T, target_hw)
 
     @jax.jit
-    def frame_cam(v, f, idx):
-        def target(f_):
-            return jnp.mean(band_power(v, f_)[:, idx])
+    def frames_cam(v, f, idxs):
+        """All per-frame-target CAMs in ONE program: vmap over the target
+        index batches the N independent backward passes (the reference runs N
+        separate `.backward()` calls, `mri_gradcam_formant.py:253-272`) — one
+        dispatch instead of N on a remote-latency host. Each lane returns only
+        its OWN frame's (H, W) heatmap, so the host fetch is N*H*W, not
+        N*T*H*W."""
 
-        grads = jax.grad(target)(f)
-        return _cam_from_grads(f, grads, B, T, target_hw)
+        def one(idx):
+            def target(f_):
+                return jnp.mean(band_power(v, f_)[:, idx])
+
+            grads = jax.grad(target)(f)
+            cam = _cam_from_grads(f, grads, B, T, target_hw)  # (B, T, H, W)
+            return cam[0, idx]
+
+        return jax.vmap(one)(idxs)  # (N, H, W)
 
     cams = np.asarray(seq_cam(variables, feats))[0]  # (T, H, W)
 
     per_frame: Dict[int, np.ndarray] = {}
-    for frame_idx in list(frame_indices or []):
+    wanted = list(frame_indices or [])
+    for frame_idx in wanted:
         if not (0 <= frame_idx < T):
             raise IndexError(f"Frame index {frame_idx} out of range (0 <= idx < {T}).")
-        fc = np.asarray(frame_cam(variables, feats, jnp.asarray(frame_idx)))[0]
-        per_frame[frame_idx] = fc[frame_idx]
+    if wanted:
+        fc = np.asarray(
+            frames_cam(variables, feats, jnp.asarray(wanted, dtype=jnp.int32))
+        )
+        for i, frame_idx in enumerate(wanted):
+            per_frame[frame_idx] = fc[i]
 
     return GradCAMOutputs(heatmaps=cams, per_frame=per_frame, band_name="unknown")
 
@@ -232,11 +262,13 @@ def main() -> None:
         "batch_stats": obj.get("batch_stats", {}),
     }
 
+    feats = compute_cnn_features(model, variables, frames)  # once for all bands
     for band_name, band_idx in bands.items():
         print(f"[INFO] Computing Grad-CAM for {band_name} (bins={band_idx.tolist()}).")
         outputs = compute_gradcam(
             model, variables, frames, scaler.mean, scaler.std, band_idx,
             reduction=args.reduction, frame_indices=args.target_frames,
+            feats=feats,
         )
         outputs.band_name = band_name
         save_heatmap_sequence(outputs.heatmaps, frames, band_name, output_dir, args.target_frames)

@@ -192,6 +192,25 @@ def test_gradcam_bands_and_heatmaps(tiny_setup):
     assert set(out.per_frame) == {0, 3}
     assert out.per_frame[3].shape == (64, 64)
 
+    # the vmapped multi-frame program must match per-index runs exactly, and
+    # a precomputed shared feature map must not change any output
+    from mri2speech_tpu.interpret.gradcam import compute_cnn_features
+
+    feats = compute_cnn_features(acoustic, variables, frames)
+    out_shared = compute_gradcam(
+        acoustic, variables, frames, scaler.mean, scaler.std, bands["F1"],
+        frame_indices=[0, 3], feats=feats,
+    )
+    np.testing.assert_allclose(out_shared.heatmaps, out.heatmaps, atol=1e-6)
+    for idx in (0, 3):
+        single = compute_gradcam(
+            acoustic, variables, frames, scaler.mean, scaler.std, bands["F1"],
+            frame_indices=[idx], feats=feats,
+        )
+        np.testing.assert_allclose(
+            single.per_frame[idx], out.per_frame[idx], atol=1e-6
+        )
+
 
 def test_masking_presets_and_custom(tmp_path):
     from mri2speech_tpu.interpret.masking import (
