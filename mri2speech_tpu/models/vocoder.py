@@ -453,10 +453,19 @@ class DiscriminatorP(nn.Module):
 
 
 class MultiPeriodDiscriminator(nn.Module):
-    """5 period discriminators, periods (2,3,5,7,11) (`models.py:179-207`)."""
+    """5 period discriminators, periods (2,3,5,7,11) (`models.py:179-207`).
+
+    ``batch_concat=True`` feeds ``concat([y, y_hat])`` through each sub-D as
+    ONE batch-2B conv chain and splits the outputs — bit-exact per sample
+    (weight-norm convs are stateless and convs never mix the batch axis), and
+    measurably faster on TPU where the thin (5,1) conv layers underfill the
+    MXU at batch B (tools/probe_gan_step.py). Param tree is identical either
+    way.
+    """
 
     periods: Sequence[int] = (2, 3, 5, 7, 11)
     dtype: Optional[jnp.dtype] = None
+    batch_concat: bool = False
 
     @nn.compact
     def __call__(self, y: Array, y_hat: Array):
@@ -464,10 +473,17 @@ class MultiPeriodDiscriminator(nn.Module):
         min_len = min(y.shape[-1], y_hat.shape[-1])
         y = y[..., :min_len]
         y_hat = y_hat[..., :min_len]
+        B = y.shape[0]
         for i, p in enumerate(self.periods):
             d = DiscriminatorP(p, dtype=self.dtype, name=f"discriminators_{i}")
-            r, fr = d(y)
-            g, fg = d(y_hat)
+            if self.batch_concat:
+                rg, frg = d(jnp.concatenate([y, y_hat], axis=0))
+                r, g = rg[:B], rg[B:]
+                fr = [f[:B] for f in frg]
+                fg = [f[B:] for f in frg]
+            else:
+                r, fr = d(y)
+                g, fg = d(y_hat)
             y_d_rs.append(r)
             fmap_rs.append(fr)
             y_d_gs.append(g)
@@ -514,13 +530,21 @@ class MultiScaleDiscriminator(nn.Module):
     """3 scale discriminators on x1/x2/x4 avg-pooled audio (`models.py:238-271`).
 
     First sub-discriminator uses spectral norm, the rest weight norm.
+
+    ``batch_concat=True`` runs each sub-D once on ``concat([y, y_hat])``
+    (batch 2B). Weight-norm sub-Ds are bit-exact per sample; the spectral-norm
+    sub-D advances its power iteration ONCE per apply instead of twice (both
+    halves see the same normalised weight) — the same immaterial-deviation
+    class as the trainer's once-per-step iteration (docs/parity_notes.md).
     """
 
     dtype: Optional[jnp.dtype] = None
+    batch_concat: bool = False
 
     @nn.compact
     def __call__(self, y: Array, y_hat: Array):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        B = y.shape[0]
         for i in range(3):
             if i != 0:
                 # AvgPool1d(4, 2, padding=2) on (B, 1, T)
@@ -536,8 +560,14 @@ class MultiScaleDiscriminator(nn.Module):
             d = DiscriminatorS(
                 use_spectral_norm=(i == 0), dtype=self.dtype, name=f"discriminators_{i}"
             )
-            r, fr = d(y)
-            g, fg = d(y_hat)
+            if self.batch_concat:
+                rg, frg = d(jnp.concatenate([y, y_hat], axis=0))
+                r, g = rg[:B], rg[B:]
+                fr = [f[:B] for f in frg]
+                fg = [f[B:] for f in frg]
+            else:
+                r, fr = d(y)
+                g, fg = d(y_hat)
             y_d_rs.append(r)
             fmap_rs.append(fr)
             y_d_gs.append(g)

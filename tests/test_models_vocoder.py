@@ -243,3 +243,33 @@ def test_default_fuse_mode_and_normalization():
     ]
     with pytest.raises(ValueError):
         normalize_fuse_modes(("dense",), 4)
+
+
+def test_discriminator_batch_concat_exact(rng):
+    """batch_concat runs each sub-D once on concat([y, y_hat]) — outputs and
+    feature maps must match the separate-application path exactly (weight-norm
+    sub-Ds; the MSD's spectral-norm sub-D matches because both paths read the
+    same persisted `u` within one apply)."""
+    y = jnp.asarray(rng.standard_normal((2, 1, 660)).astype(np.float32) * 0.1)
+    yh = jnp.asarray(rng.standard_normal((2, 1, 660)).astype(np.float32) * 0.1)
+
+    mpd = MultiPeriodDiscriminator()
+    mpd_cat = MultiPeriodDiscriminator(batch_concat=True)
+    p = mpd.init(jax.random.PRNGKey(0), y, yh)["params"]
+    rs0, gs0, fr0, fg0 = mpd.apply({"params": p}, y, yh)
+    rs1, gs1, fr1, fg1 = mpd_cat.apply({"params": p}, y, yh)
+    for a, b in zip(rs0 + gs0, rs1 + gs1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for fa, fb in zip(fr0 + fg0, fr1 + fg1):
+        for a, b in zip(fa, fb):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    msd = MultiScaleDiscriminator()
+    msd_cat = MultiScaleDiscriminator(batch_concat=True)
+    v = msd.init(jax.random.PRNGKey(1), y, yh)
+    # freeze norm_stats (no mutable): both paths normalise with the same u
+    rs0, gs0, fr0, fg0 = msd.apply(v, y, yh)
+    rs1, gs1, fr1, fg1 = msd_cat.apply(v, y, yh)
+    for a, b in zip(rs0 + gs0, rs1 + gs1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
