@@ -216,11 +216,83 @@ def bench_vocoder(repeats: int = 3, bf16: bool = False, bf16_opt: bool = False) 
     return out
 
 
+def bench_input_pipeline(n_pairs_per_stem: int = 100, n_stems: int = 3) -> dict:
+    """Host input-pipeline throughput next to the device step.
+
+    Measures the REAL training input path — mmap'd npy triplets ->
+    `FixedLenPairDataset.gather_batch` (native C++ row gather when built) ->
+    `BatchLoader` prefetch threads — at the reference recipe shapes (batch 8,
+    ref_frames 4, 256x256 fp32), on THIS host. The resulting batches/s against
+    the measured device step time shows which side bounds the 4,500-epoch
+    acoustic recipe (docs/BENCH_NOTES.md asserts input-bound; this records the
+    number).
+    """
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from mri2speech_tpu.data.dataset import BatchLoader, FixedLenPairDataset
+    from mri2speech_tpu.runtime.native import native_available
+
+    root = Path(tempfile.mkdtemp(prefix="m2s_inbench_"))
+    try:
+        npy_dir = root / "pairs_ref4_npy"
+        rng = np.random.default_rng(0)
+        for s in range(n_stems):
+            d = npy_dir / f"stem{s}"
+            d.mkdir(parents=True)
+            np.save(
+                d / "mri.npy",
+                rng.random((n_pairs_per_stem, 4, 1, 256, 256), dtype=np.float32),
+            )
+            np.save(
+                d / "mel.npy",
+                rng.standard_normal((n_pairs_per_stem, 4, 64)).astype(np.float32),
+            )
+            np.save(d / "mask.npy", np.ones((n_pairs_per_stem, 4), np.float32))
+        ds = FixedLenPairDataset(str(root), ref_frames=4)
+        idx = np.arange(len(ds))
+        B = 8
+        loader = BatchLoader(ds, idx, batch_size=B, drop_last=True, prefetch=2)
+        # warm the page cache (the steady-state recipe re-reads resident pages)
+        for _ in loader:
+            pass
+        n_batches = len(loader)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            seen = 0
+            for batch in loader:
+                seen += 1
+            times.append((time.perf_counter() - t0) / seen)
+        batch_s = float(np.median(times))
+        bytes_per_batch = B * (4 * 1 * 256 * 256 + 4 * 64 + 4) * 4
+        return {
+            "metric": "input_pipeline_batch_seconds",
+            "value": batch_s,
+            "unit": "s/batch",
+            "batch": B,
+            "batches_per_sec": 1.0 / batch_s,
+            "host_MBps": bytes_per_batch / batch_s / 1e6,
+            "native_gather": bool(native_available()),
+            "n_batches_per_epoch": n_batches,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     backend = jax.default_backend()
     a = bench_acoustic(use_bf16=(backend == "tpu"))
     a["backend"] = backend
     print(json.dumps(a))
+    ip = bench_input_pipeline()
+    # duty cycle: fraction of wall time the chip would be busy if the host
+    # feeds it sequentially (prefetch overlaps, so this is the lower bound)
+    ip["device_step_seconds"] = a["value"]
+    ip["device_duty_cycle_if_serial"] = a["value"] / (a["value"] + ip["value"])
+    ip["input_bound"] = bool(ip["value"] > a["value"])
+    print(json.dumps(ip))
     v = bench_vocoder()
     v["backend"] = backend
     print(json.dumps(v))
