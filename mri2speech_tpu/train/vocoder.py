@@ -82,6 +82,15 @@ class VocoderTrainerConfig:
     # bf16 AdaBelief moment storage (fp32 master params; halves optimizer-state
     # HBM traffic on a step measured at 95.8% HBM — docs/BENCH_NOTES.md)
     bf16_opt_state: bool = False
+    # run each sub-discriminator ONCE on concat([y, y_hat]) (batch 2B) instead
+    # of twice at batch B — exact per sample for every weight-norm sub-D
+    # (parity-tested); the MSD's spectral-norm sub-D advances its power
+    # iteration once per apply instead of twice (the documented immaterial
+    # deviation class, docs/parity_notes.md). MEASURED NEGATIVE as a step
+    # default: isolated MSD fwd improves 18.3 -> 14.3 ms, but the FULL D+G
+    # step regresses 117.7 -> 125.9 ms (the per-half feature-map slices feeding
+    # feature_loss materialize as copies in-graph) — kept as a tested opt-in.
+    concat_discriminators: bool = False
     # None = auto: sharded orbax checkpoints when the mesh spans >1 process
     use_orbax: Optional[bool] = None
 
@@ -104,8 +113,9 @@ class VocoderTrainer:
             )
         dtype = jnp.bfloat16 if config.bf16 else None
         self.generator = Generator(h=self.h, dtype=dtype)
-        self.mpd = MultiPeriodDiscriminator(dtype=dtype)
-        self.msd = MultiScaleDiscriminator(dtype=dtype)
+        cat = config.concat_discriminators
+        self.mpd = MultiPeriodDiscriminator(dtype=dtype, batch_concat=cat)
+        self.msd = MultiScaleDiscriminator(dtype=dtype, batch_concat=cat)
         self.use_orbax = (
             config.use_orbax
             if config.use_orbax is not None

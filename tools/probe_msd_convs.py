@@ -31,7 +31,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import jax
 import jax.numpy as jnp
 
-K = 8
+K = 64  # small ops: K must amortise the ~26 ms tunnel RTT per call (RTT/K floor)
 # (name, C_in, C_out, k, stride, groups, T_in)  — scale-0 shapes at B=32
 LAYERS = [
     ("l1", 128, 128, 41, 2, 4, 8400),
