@@ -432,11 +432,19 @@ class DiscriminatorP(nn.Module):
         norm = dict(spectral_norm=True) if self.use_spectral_norm else dict(weight_norm=True)
         channels = [32, 128, 512, 1024]
         for i, ch in enumerate(channels):
+            # first conv stays fp32 under bf16: a bf16 tensor with the
+            # degenerate C=1 channel dim trips an XLA fusion cost-model
+            # CHECK ("TransformWindow: Loop will not make progress",
+            # fusion_util.cc:3726) when the step is chained in a fori carry;
+            # the C_in=1 conv is negligible FLOPs anyway (docs/BENCH_NOTES.md)
+            layer_dtype = None if i == 0 else self.dtype
             x = Conv2d(
                 ch, (5, 1), strides=(3, 1), padding=(4, 0),
-                dtype=self.dtype, name=f"convs_{i}", **norm,
+                dtype=layer_dtype, name=f"convs_{i}", **norm,
             )(x)
             x = leaky_relu(x, LRELU_SLOPE)
+            if i == 0 and self.dtype is not None:
+                x = x.astype(self.dtype)
             fmap.append(x)
         x = Conv2d(
             1024, (5, 1), strides=(1, 1), padding=(2, 0),
@@ -515,11 +523,17 @@ class DiscriminatorS(nn.Module):
         ]
         fmap: List[Array] = []
         for i, (f, k, s, g, p) in enumerate(spec):
+            # first conv fp32 under bf16 — see DiscriminatorP: a degenerate
+            # C=1 bf16 input tensor SIGABRTs XLA's fusion cost model when the
+            # step runs inside a fori carry
+            layer_dtype = None if i == 0 else self.dtype
             x = Conv1d(
                 f, k, stride=s, groups=g, padding=p,
-                dtype=self.dtype, name=f"convs_{i}", **norm,
+                dtype=layer_dtype, name=f"convs_{i}", **norm,
             )(x)
             x = leaky_relu(x, LRELU_SLOPE)
+            if i == 0 and self.dtype is not None:
+                x = x.astype(self.dtype)
             fmap.append(x)
         x = Conv1d(1, 3, padding=1, dtype=self.dtype, name="conv_post", **norm)(x)
         fmap.append(x)

@@ -88,14 +88,14 @@ SPECS = {
 
 def main() -> None:
     rng = np.random.default_rng(0)
-    x = jnp.asarray(
-        rng.random((T, 128, 128, 4)).astype(np.float32), jnp.bfloat16
-    )  # post-s2d layout; stem param path identical across specs
+    # EXACT serving layout: (T, 256, 256, 1) bf16 frames, s2d stem — stage
+    # spatial dims match bench.py's acoustic stage (s4/s5 at 16x16, s6 at 8x8)
+    x = jnp.asarray(rng.random((T, 256, 256, 1)).astype(np.float32), jnp.bfloat16)
 
     results = {}
     for name, spec in SPECS.items():
-        model = EffNetV2Features(spec=spec, dtype=jnp.bfloat16)
-        vars_ = jax.jit(lambda r, m=model: m.init(r, jnp.zeros((1, 128, 128, 4))))(
+        model = EffNetV2Features(spec=spec, stem_s2d=True, dtype=jnp.bfloat16)
+        vars_ = jax.jit(lambda r, m=model: m.init(r, jnp.zeros((1, 256, 256, 1))))(
             jax.random.PRNGKey(0)
         )
 
@@ -108,6 +108,22 @@ def main() -> None:
         results[f"{name}_gflops"] = round(flops / 1e9, 1)
         results[f"{name}_tflops"] = round(flops / t / 1e12, 1)
         print(name, json.dumps({kk: results[kk] for kk in results if kk.startswith(name)}), flush=True)
+
+    # cumulative truncated stacks of the b2 spec: per-stage in-graph deltas
+    for n_stages in (3, 4, 5, 6):
+        spec = SPECS["b2"][:n_stages]
+        model = EffNetV2Features(spec=spec, stem_s2d=True, dtype=jnp.bfloat16)
+        vars_ = jax.jit(lambda r, m=model: m.init(r, jnp.zeros((1, 256, 256, 1))))(
+            jax.random.PRNGKey(0)
+        )
+
+        def body(acc, v, xx, m=model):
+            y = m.apply(v, xx + acc.astype(xx.dtype) * 1e-3, train=False)
+            return y[0, 0, 0, 0].astype(jnp.float32) * 1e-30 + acc
+
+        t, flops = timeit(body, vars_, x)
+        results[f"cum_s{n_stages}_ms"] = round(t * 1e3, 3)
+        print(f"cum_s{n_stages}", round(t * 1e3, 3), "ms", flush=True)
 
     print(json.dumps(results))
 
