@@ -107,7 +107,7 @@ def timed_stage(body, args, *, k: int = 8, repeats: int = REPEATS, on_tpu: bool)
 
 def build_pipeline(dtype=None, lstm_impl="scan") -> VideoToSpeechPipeline:
     rng = jax.random.PRNGKey(0)
-    acoustic = AcousticModel(dtype=dtype, lstm_impl=lstm_impl, stem_s2d=True)
+    acoustic = AcousticModel(dtype=dtype, lstm_impl=lstm_impl, stem_s2d=True, pad_ir=True)
     # jitted inits: one compiled program instead of hundreds of eager ops
     variables = jax.jit(
         lambda r: acoustic.init(r, jnp.zeros((1, 2, 1, 256, 256)), train=False)
@@ -241,6 +241,16 @@ def _measure_link(pipeline, frames_u8, seconds_audio, fused_s, acoustic_s, gen_s
         rtts.append(time.perf_counter() - t0)
     rtt = float(np.median(rtts))
 
+    # fetch-only RTT (no dispatch leg): what a pure device->host read of a
+    # tiny buffer costs — the right baseline to subtract from the download
+    # timing (subtracting the full dispatch RTT measured negative downloads)
+    frtts = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        np.asarray(tiny)
+        frtts.append(time.perf_counter() - t0)
+    fetch_rtt = float(np.median(frtts))
+
     # upload: device_put of the exact frames array, forced by a tiny fetch
     ups = []
     for _ in range(5):
@@ -248,7 +258,7 @@ def _measure_link(pipeline, frames_u8, seconds_audio, fused_s, acoustic_s, gen_s
         d = jax.device_put(f)
         float(jnp.asarray(d[0, 0, 0, 0, 0], jnp.float32))
         ups.append(time.perf_counter() - t0 - rtt)
-    upload_s = float(np.median(ups))
+    upload_s = max(0.0, float(np.median(ups)))
 
     # download: audio-sized fp32 fetch
     audio_dev = jax.jit(lambda: jnp.zeros((T * pipeline.hop_total,), jnp.float32))()
@@ -257,8 +267,8 @@ def _measure_link(pipeline, frames_u8, seconds_audio, fused_s, acoustic_s, gen_s
     for _ in range(5):
         t0 = time.perf_counter()
         np.asarray(audio_dev)
-        downs.append(time.perf_counter() - t0 - rtt)
-    download_s = float(np.median(downs))
+        downs.append(time.perf_counter() - t0 - fetch_rtt)
+    download_s = max(0.0, float(np.median(downs)))
 
     # CNN-only device time (frame-wise stage the streaming path overlaps)
     f_dev = jax.device_put(jnp.asarray(f))
@@ -277,11 +287,12 @@ def _measure_link(pipeline, frames_u8, seconds_audio, fused_s, acoustic_s, gen_s
     return {
         "upload_bytes": n_up,
         "upload_seconds": upload_s,
-        "link_up_MBps": n_up / upload_s / 1e6 if upload_s > 0 else float("inf"),
+        "link_up_MBps": n_up / upload_s / 1e6 if upload_s > 1e-9 else None,
         "download_bytes": n_down,
         "download_seconds": download_s,
-        "link_down_MBps": n_down / download_s / 1e6 if download_s > 0 else float("inf"),
+        "link_down_MBps": n_down / download_s / 1e6 if download_s > 1e-9 else None,
         "dispatch_rtt_seconds": rtt,
+        "fetch_rtt_seconds": fetch_rtt,
         "cnn_seconds": cnn_s,
         "tail_seconds": tail_s,
         "e2e_floor_rtf": floor_s / seconds_audio,

@@ -227,6 +227,7 @@ def build_pipeline_from_checkpoints(
     cnn_stem=None,
     dtype=None,
     stem_s2d: bool = True,
+    pad_ir: bool = True,
 ) -> VideoToSpeechPipeline:
     from mri2speech_tpu.infer.vocoder_io import load_generator
     from mri2speech_tpu.models.vocoder import (
@@ -244,9 +245,12 @@ def build_pipeline_from_checkpoints(
         n_mels=n_mels, rnn_hidden=rnn_hidden, dropout=dropout, dtype=dtype,
         cnn_spec=cnn_spec, cnn_stem=cnn_stem,
         lstm_impl="pallas" if jax.default_backend() == "tpu" else "scan",
-        # exact fp rewrite (engages on even-sized 1ch frames); pass
-        # stem_s2d=False for a serving path bit-for-bit with training's default
+        # exact fp rewrites (stem: engages on even-sized 1ch frames; pad_ir:
+        # zero-pads ir channels to 128-lane multiples — measured ~2.7 ms off
+        # the CNN, probe_ir_pad.py); pass stem_s2d=False / pad_ir=False for a
+        # serving path bit-for-bit with training's default layout
         stem_s2d=stem_s2d,
+        pad_ir=pad_ir,
     )
     obj = ckpt_io.load_checkpoint_raw(mri_checkpoint)
     params = obj.get("params", obj.get("model_state_dict", obj))

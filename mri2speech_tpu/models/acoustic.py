@@ -58,6 +58,7 @@ class AcousticModel(nn.Module):
     lstm_impl: str = "scan"  # "pallas" for the VMEM-resident inference kernel
     stem_s2d: bool = False  # exact space-to-depth stem (see effnetv2.py)
     fuse_ir: bool = False  # Pallas fused MBConv blocks (inference transform)
+    pad_ir: bool = False  # exact 128-lane ir-stage padding (inference transform)
     dtype: Optional[jnp.dtype] = None
 
     def setup(self) -> None:
@@ -67,7 +68,7 @@ class AcousticModel(nn.Module):
         if self.cnn_stem is not None:
             cnn_kwargs["stem_channels"] = self.cnn_stem
         self.cnn = EffNetV2Features(
-            stem_s2d=self.stem_s2d, fuse_ir=self.fuse_ir,
+            stem_s2d=self.stem_s2d, fuse_ir=self.fuse_ir, pad_ir=self.pad_ir,
             dtype=self.dtype, name="cnn", **cnn_kwargs
         )
         self.rnn = BiLSTMSumMerge(

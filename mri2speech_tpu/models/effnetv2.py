@@ -274,6 +274,113 @@ class _FusedMBConv(nn.Module):
         )
 
 
+def _pad128(n: int) -> int:
+    """Next multiple of 128 (the TPU lane count)."""
+    return ((n + 127) // 128) * 128
+
+
+class _PaddedInvertedResidual(nn.Module):
+    """SE-MBConv with all channel dims zero-padded to 128-lane multiples.
+
+    EXACT inference transform (output-invariant, not an approximation): the
+    padded channels carry zeros end-to-end —
+
+    * conv_pw / conv_dw / conv_pwl kernels are zero-padded, so padded
+      channels receive 0;
+    * BatchNorms are applied in folded form with padded (mul=0, add=0), so
+      padded channels stay 0 (and SiLU(0) = 0);
+    * the SE gate for a padded channel multiplies a zero activation — 0;
+    * the residual adds zeros to zeros.
+
+    Motivation (measured, tools/probe_ir_pad.py): the B2 'ir' stages use
+    104/120/208-channel tensors whose mids (416/624/720/1248) are not
+    128-multiples; the same network with every ir dim rounded up to 128
+    runs the CNN in 28.7 ms vs 31.4 ms at serving shapes DESPITE 16% more
+    FLOPs (49.5 -> 63 TF/s) — XLA tiles exact-lane shapes far better.
+    Zero-padding captures that win with bit-identical math.
+
+    The parameter tree is IDENTICAL to :class:`InvertedResidual` (conv_pw /
+    bn1 / conv_dw / bn2 / se.reduce / se.expand / conv_pwl / bn3) — padding
+    happens on the fly, so checkpoints and converters are unaffected.
+    `real_in` is the canonical input channel count; the input tensor may
+    arrive unpadded (first ir block) or padded by the previous block.
+    """
+
+    channels: int
+    kernel: int
+    stride: int
+    expand: int
+    se_ratio: float
+    real_in: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        assert not train, "_PaddedInvertedResidual is an inference transform"
+        cin_p = x.shape[-1]  # real_in or _pad128(real_in)
+        mid = self.real_in * self.expand
+        midp = _pad128(mid)
+        outp = _pad128(self.channels)
+        red = max(1, int(self.real_in * self.se_ratio))
+
+        def bn_mul_add(bn):
+            """Inference BN as y*mul + add, zero-padded to the target width."""
+            scale, bias, mean, var = bn
+            mul = scale * jax.lax.rsqrt(var + 1e-3)
+            return mul, bias - mean * mul
+
+        def padw(w, rows, cols):
+            return jnp.pad(w, ((0, rows - w.shape[0]), (0, cols - w.shape[1])))
+
+        def cast(a):
+            return a.astype(self.dtype) if self.dtype is not None else a
+
+        w_pw, _ = _ConvParamShell((1, 1, self.real_in, mid), name="conv_pw")()
+        bn1 = _BnParamShell(mid, name="bn1")()
+        w_dw, _ = _ConvParamShell((self.kernel, self.kernel, 1, mid), name="conv_dw")()
+        bn2 = _BnParamShell(mid, name="bn2")()
+        (wr, br), (we, be) = _SEParamShell(mid, red, name="se")()
+        w_pwl, _ = _ConvParamShell((1, 1, mid, self.channels), name="conv_pwl")()
+        bn3 = _BnParamShell(self.channels, name="bn3")()
+
+        m1, a1 = bn_mul_add(bn1)
+        m2, a2 = bn_mul_add(bn2)
+        m3, a3 = bn_mul_add(bn3)
+
+        # pw: fold BN1 into the kernel, pad (cin_p x midp)
+        w1 = padw(w_pw.reshape(self.real_in, mid) * m1[None, :], cin_p, midp)
+        a1p = jnp.pad(a1, (0, midp - mid))
+        y = jnp.einsum("bhwc,cm->bhwm", cast(x), cast(w1)) + cast(a1p)
+        y = nn.silu(y)
+
+        # dw: fold BN2, pad to midp groups
+        w2 = jnp.pad(
+            w_dw.reshape(-1, mid) * m2[None, :], ((0, 0), (0, midp - mid))
+        ).reshape(self.kernel, self.kernel, 1, midp)
+        a2p = jnp.pad(a2, (0, midp - mid))
+        y = jax.lax.conv_general_dilated(
+            y, cast(w2), (self.stride, self.stride), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=midp,
+        ) + cast(a2p)
+        y = nn.silu(y)
+
+        # SE: padded rows of reduce contribute 0; padded expand cols give a
+        # gate of sigmoid(0) = 0.5, multiplying zero activations — still 0
+        g = jnp.mean(y, axis=(1, 2))
+        g = nn.silu(g @ cast(padw(wr.reshape(mid, red), midp, red)) + cast(br))
+        g = nn.sigmoid(g @ cast(padw(we.reshape(red, mid), red, midp)) + cast(jnp.pad(be, (0, midp - mid))))
+        y = y * g[:, None, None, :]
+
+        # pwl: fold BN3, pad (midp x outp)
+        w3 = padw(w_pwl.reshape(mid, self.channels) * m3[None, :], midp, outp)
+        a3p = jnp.pad(a3, (0, outp - self.channels))
+        y = jnp.einsum("bhwk,kc->bhwc", y, cast(w3)) + cast(a3p)
+
+        if self.stride == 1 and self.real_in == self.channels and cin_p == outp:
+            y = y + x
+        return y
+
+
 def stem_s2d_applicable(frame_shape, flag: bool) -> bool:
     """s2d stem engages only for 1-channel frames with even H, W.
 
@@ -353,6 +460,7 @@ class EffNetV2Features(nn.Module):
     stem_channels: int = EFFNETV2_B2_STEM
     stem_s2d: bool = False
     fuse_ir: bool = False  # Pallas fused MBConv blocks (inference transform)
+    pad_ir: bool = False  # exact 128-lane zero-padding of ir stages (inference)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -363,6 +471,7 @@ class EffNetV2Features(nn.Module):
             y = _conv(self.stem_channels, 3, 2, "stem_conv", self.dtype)(x)
         y = _bn(train, "stem_bn", self.dtype)(y)
         y = nn.silu(y)
+        real_c = self.stem_channels  # canonical channel count (pad_ir may widen y)
         for si, st in enumerate(self.spec):
             for bi in range(st.repeats):
                 stride = st.stride if bi == 0 else 1
@@ -372,6 +481,11 @@ class EffNetV2Features(nn.Module):
                 elif st.block == "er":
                     y = EdgeResidual(
                         st.channels, st.kernel, stride, st.expand, self.dtype, name=name
+                    )(y, train)
+                elif st.block == "ir" and self.pad_ir and not train:
+                    y = _PaddedInvertedResidual(
+                        st.channels, st.kernel, stride, st.expand, st.se_ratio,
+                        real_in=real_c, dtype=self.dtype, name=name,
                     )(y, train)
                 elif (
                     self.fuse_ir
@@ -389,4 +503,7 @@ class EffNetV2Features(nn.Module):
                         st.channels, st.kernel, stride, st.expand, st.se_ratio,
                         self.dtype, name=name,
                     )(y, train)
+                real_c = st.channels
+        if y.shape[-1] != real_c:  # strip pad_ir's zero lanes at the exit
+            y = y[..., :real_c]
         return y

@@ -101,7 +101,7 @@ def stack(upto):
             # truncated variants change the channel count — project back so
             # blocks chain (the projection cost is constant across variants)
             y = o if o.shape[-1] == C else o[..., :C]
-        return y[0, 0, 0].astype(jnp.float32) * 1e-30 + acc
+        return y[0, 0, 0, 0].astype(jnp.float32) * 1e-30 + acc
 
     return f
 
@@ -121,7 +121,7 @@ def main() -> None:
                 for i in range(N_BLOCKS):
                     yy = block(y, ws[i], "dw")
                     y = jnp.einsum("bhwk,kc->bhwc", yy, ws[i]["w_pwl"]) + y
-                return y[0, 0, 0].astype(jnp.float32) * 1e-30 + acc
+                return y[0, 0, 0, 0].astype(jnp.float32) * 1e-30 + acc
         else:
             f = stack(mode)
         t = timeit(f, x, ws)
