@@ -336,6 +336,16 @@ def main() -> None:
              "~1.4%% waveform rel-L2 vs the exact path — see ops/quant.py "
              "and docs/BENCH_NOTES.md).",
     )
+    parser.add_argument(
+        "--no-stem-s2d", action="store_true",
+        help="Disable the space-to-depth stem rewrite (exact fp reordering; "
+             "disable for a serving path bit-for-bit with training's layout).",
+    )
+    parser.add_argument(
+        "--no-pad-ir", action="store_true",
+        help="Disable the 128-lane ir-stage zero-padding (exact fp "
+             "reordering; disable for the canonical training layout).",
+    )
     args = parser.parse_args()
 
     video_path = Path(args.video)
@@ -348,6 +358,7 @@ def main() -> None:
         args.hifigan_checkpoint, n_mels=args.n_mels, rnn_hidden=args.rnn_hidden,
         dropout=args.dropout, frame_bucket=args.frame_bucket,
         streaming=args.streaming, quantize=args.int8,
+        stem_s2d=not args.no_stem_s2d, pad_ir=not args.no_pad_ir,
     )
     audio, stats = pipeline.timed_run(frames)
     _, mel_db, mel_log = pipeline(frames)

@@ -17,6 +17,7 @@ around cuDNN; `lax.scan` LSTMs differentiate in eval mode natively). All CAMs
 from __future__ import annotations
 
 import argparse
+import functools
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Dict, Iterable, Optional, Sequence, Tuple
@@ -89,6 +90,13 @@ def _cam_from_grads(feats: Array, grads: Array, B: int, T: int, target_hw) -> Ar
     return cam.reshape(B, T, *target_hw)
 
 
+@functools.lru_cache(maxsize=16)
+def _cnn_features_program(model):
+    return jax.jit(
+        lambda v, xx: model.apply(v, xx, train=False, method=model.cnn_features)
+    )
+
+
 def compute_cnn_features(model, variables: dict, frames: np.ndarray):
     """Upload frames once and run the CNN forward once; the returned device
     feature map can be shared by every band's `compute_gradcam` call (the
@@ -96,9 +104,54 @@ def compute_cnn_features(model, variables: dict, frames: np.ndarray):
     if frames.ndim == 3:
         frames = frames[None, :, None, :, :]
     x = jnp.asarray(frames, dtype=jnp.float32)
-    return jax.jit(
-        lambda v, xx: model.apply(v, xx, train=False, method=model.cnn_features)
-    )(jax.device_put(variables), x)
+    return _cnn_features_program(model)(jax.device_put(variables), x)
+
+
+@functools.lru_cache(maxsize=16)
+def _cam_programs(model, reduction: str, B: int, T: int, target_hw: tuple):
+    """Jitted (seq_cam, frames_cam) for a (model, reduction, shape) key.
+
+    Cached at module level: `compute_gradcam` used to build fresh jit
+    closures per call, retracing the full model every invocation (~18 s per
+    band through the remote-compile tunnel). The band is a fixed-shape
+    {0,1} mask over mel bins (not a bin-index array), so EVERY band shares
+    one compiled program — a 2-band sweep compiles once."""
+
+    def band_power(v, f, mean, std, band_mask):
+        pred = model.apply(v, f, B, T, train=False, method=model.head_from_features)
+        mel_db = pred * std + mean
+        mel_power = jnp.power(10.0, mel_db / 10.0)
+        return jnp.sum(mel_power * band_mask, axis=-1)  # (B, T)
+
+    @jax.jit
+    def seq_cam(v, f, mean, std, band_mask):
+        def target(f_):
+            p = band_power(v, f_, mean, std, band_mask)
+            return jnp.mean(p) if reduction == "mean" else jnp.sum(p)
+
+        grads = jax.grad(target)(f)
+        return _cam_from_grads(f, grads, B, T, target_hw)
+
+    @jax.jit
+    def frames_cam(v, f, mean, std, band_mask, idxs):
+        """All per-frame-target CAMs in ONE program: vmap over the target
+        index batches the N independent backward passes (the reference runs N
+        separate `.backward()` calls, `mri_gradcam_formant.py:253-272`) — one
+        dispatch instead of N on a remote-latency host. Each lane returns only
+        its OWN frame's (H, W) heatmap, so the host fetch is N*H*W, not
+        N*T*H*W."""
+
+        def one(idx):
+            def target(f_):
+                return jnp.mean(band_power(v, f_, mean, std, band_mask)[:, idx])
+
+            grads = jax.grad(target)(f)
+            cam = _cam_from_grads(f, grads, B, T, target_hw)  # (B, T, H, W)
+            return cam[0, idx]
+
+        return jax.vmap(one)(idxs)  # (N, H, W)
+
+    return seq_cam, frames_cam
 
 
 def compute_gradcam(
@@ -127,47 +180,19 @@ def compute_gradcam(
     target_hw = (frames.shape[-2], frames.shape[-1])
     mean = jnp.asarray(mel_mean)
     std = jnp.asarray(mel_std)
-    band_idx = jnp.asarray(np.asarray(band_indices), dtype=jnp.int32)
+    n_mels = np.asarray(mel_mean).shape[-1]
+    band_idx = np.asarray(band_indices)
+    band_mask = jnp.asarray(
+        np.isin(np.arange(n_mels), band_idx).astype(np.float32)
+    )  # fixed shape: every band reuses one compiled program
 
     variables = jax.device_put(variables)
     if feats is None:
         feats = compute_cnn_features(model, variables, frames)
 
-    def band_power(v, f):
-        pred = model.apply(v, f, B, T, train=False, method=model.head_from_features)
-        mel_db = pred * std + mean
-        mel_power = jnp.power(10.0, mel_db / 10.0)
-        return jnp.sum(jnp.take(mel_power, band_idx, axis=-1), axis=-1)  # (B, T)
+    seq_cam, frames_cam = _cam_programs(model, reduction, B, T, target_hw)
 
-    @jax.jit
-    def seq_cam(v, f):
-        def target(f_):
-            p = band_power(v, f_)
-            return jnp.mean(p) if reduction == "mean" else jnp.sum(p)
-
-        grads = jax.grad(target)(f)
-        return _cam_from_grads(f, grads, B, T, target_hw)
-
-    @jax.jit
-    def frames_cam(v, f, idxs):
-        """All per-frame-target CAMs in ONE program: vmap over the target
-        index batches the N independent backward passes (the reference runs N
-        separate `.backward()` calls, `mri_gradcam_formant.py:253-272`) — one
-        dispatch instead of N on a remote-latency host. Each lane returns only
-        its OWN frame's (H, W) heatmap, so the host fetch is N*H*W, not
-        N*T*H*W."""
-
-        def one(idx):
-            def target(f_):
-                return jnp.mean(band_power(v, f_)[:, idx])
-
-            grads = jax.grad(target)(f)
-            cam = _cam_from_grads(f, grads, B, T, target_hw)  # (B, T, H, W)
-            return cam[0, idx]
-
-        return jax.vmap(one)(idxs)  # (N, H, W)
-
-    cams = np.asarray(seq_cam(variables, feats))[0]  # (T, H, W)
+    cams = np.asarray(seq_cam(variables, feats, mean, std, band_mask))[0]  # (T, H, W)
 
     per_frame: Dict[int, np.ndarray] = {}
     wanted = list(frame_indices or [])
@@ -176,7 +201,10 @@ def compute_gradcam(
             raise IndexError(f"Frame index {frame_idx} out of range (0 <= idx < {T}).")
     if wanted:
         fc = np.asarray(
-            frames_cam(variables, feats, jnp.asarray(wanted, dtype=jnp.int32))
+            frames_cam(
+                variables, feats, mean, std, band_mask,
+                jnp.asarray(wanted, dtype=jnp.int32),
+            )
         )
         for i, frame_idx in enumerate(wanted):
             per_frame[frame_idx] = fc[i]
