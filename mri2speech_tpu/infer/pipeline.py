@@ -84,7 +84,14 @@ class VideoToSpeechPipeline:
 
     @staticmethod
     def _normalize_frames(frames):
-        """Per-frame z-score -> min-max [0,1] on device (frames (..., H, W))."""
+        """Per-frame z-score -> min-max [0,1] on device (frames (..., H, W)).
+
+        Algebraic note: the z-score cancels exactly — min-max of
+        (x-mean)/std equals (x - min(x)) / (max(x) - min(x)) since both are
+        monotone affine maps of x. The two-step form is kept to mirror the
+        reference (`run_mri_video_inference.py`) including its degenerate
+        cases (constant frame -> 0), and XLA fuses the whole chain anyway.
+        """
         f = frames.astype(jnp.float32)
         mean = jnp.mean(f, axis=(-2, -1), keepdims=True)
         std = jnp.std(f, axis=(-2, -1), keepdims=True)

@@ -211,6 +211,20 @@ def test_gradcam_bands_and_heatmaps(tiny_setup):
             single.per_frame[idx], out.per_frame[idx], atol=1e-6
         )
 
+    # the jitted CAM programs must be cached across calls and across BANDS
+    # (fixed-shape band mask; per-call jit closures retraced the full model
+    # every invocation — the 22 s/band regression fixed in round 3)
+    from mri2speech_tpu.interpret.gradcam import _cam_programs
+
+    p1 = _cam_programs(acoustic, "mean", 1, 5, (64, 64))
+    p2 = _cam_programs(acoustic, "mean", 1, 5, (64, 64))
+    assert p1[0] is p2[0] and p1[1] is p2[1]
+    out_f2 = compute_gradcam(
+        acoustic, variables, frames, scaler.mean, scaler.std, bands["F2"],
+        frame_indices=[0], feats=feats,
+    )  # different band, same programs — must not error or retrace
+    assert out_f2.heatmaps.shape == (5, 64, 64)
+
 
 def test_masking_presets_and_custom(tmp_path):
     from mri2speech_tpu.interpret.masking import (
