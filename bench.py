@@ -209,7 +209,7 @@ def mel_parity_vs_torch() -> float:
     return float(np.abs(ours - ref).mean() / (ref.max() - ref.min() + 1e-9))
 
 
-def _measure_link(pipeline, frames_u8, seconds_audio, fused_s, acoustic_s, gen_s):
+def _measure_link(pipeline, frames_u8, seconds_audio, acoustic_s, gen_s):
     """Direct measurement of the e2e serving path's irreducible components.
 
     Returns the measured host->device upload time of the exact frames buffer,
@@ -411,7 +411,7 @@ def main() -> None:
     # the CNN contributes only where it exceeds the upload (never, here); the
     # BiLSTM is bidirectional, so the tail cannot start before the last block
     # lands — it is sequentially exposed by construction.
-    link = _measure_link(pipeline, frames_u8, seconds_audio, fused["seconds"],
+    link = _measure_link(pipeline, frames_u8, seconds_audio,
                          acoustic_stats["seconds"], generator_stats["seconds"])
 
     print(

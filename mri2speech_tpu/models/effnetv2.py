@@ -317,6 +317,8 @@ class _PaddedInvertedResidual(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         assert not train, "_PaddedInvertedResidual is an inference transform"
+        from mri2speech_tpu.ops.pallas_mbconv import fold_bn
+
         cin_p = x.shape[-1]  # real_in or _pad128(real_in)
         mid = self.real_in * self.expand
         midp = _pad128(mid)
@@ -324,10 +326,8 @@ class _PaddedInvertedResidual(nn.Module):
         red = max(1, int(self.real_in * self.se_ratio))
 
         def bn_mul_add(bn):
-            """Inference BN as y*mul + add, zero-padded to the target width."""
-            scale, bias, mean, var = bn
-            mul = scale * jax.lax.rsqrt(var + 1e-3)
-            return mul, bias - mean * mul
+            """Inference BN as y*mul + add (shared fold, eps matches _bn)."""
+            return fold_bn(*bn)
 
         def padw(w, rows, cols):
             return jnp.pad(w, ((0, rows - w.shape[0]), (0, cols - w.shape[1])))
@@ -376,7 +376,12 @@ class _PaddedInvertedResidual(nn.Module):
         a3p = jnp.pad(a3, (0, outp - self.channels))
         y = jnp.einsum("bhwk,kc->bhwc", y, cast(w3)) + cast(a3p)
 
-        if self.stride == 1 and self.real_in == self.channels and cin_p == outp:
+        if self.stride == 1 and self.real_in == self.channels:
+            # the canonical residual condition; if the input arrived unpadded
+            # (e.g. a stride-1 channel-preserving ir block directly after an
+            # er stage) zero-pad it to the padded output width first
+            if cin_p != outp:
+                x = jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, outp - cin_p),))
             y = y + x
         return y
 

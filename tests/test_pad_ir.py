@@ -62,6 +62,32 @@ def test_pad_ir_small_spec_parity():
     )
 
 
+def test_pad_ir_unpadded_input_residual_parity():
+    """A stride-1 channel-preserving ir block RIGHT AFTER an er stage gets an
+    UNPADDED input; the residual must still be applied (the input is
+    zero-padded to the padded output width). Regression for a silent
+    residual drop on custom specs (B2 never hits this: every stage-first ir
+    block changes channels or strides)."""
+    spec = (
+        StageSpec("er", 3, 2, 4, 24, 1),
+        StageSpec("ir", 3, 1, 4, 24, 2, 0.25),  # b0: 24 -> 24, stride 1
+    )
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)) * 0.5, jnp.float32)
+
+    plain = EffNetV2Features(spec=spec, stem_channels=8)
+    variables = _randomize_bn(rng, plain.init(jax.random.PRNGKey(0), x, train=False))
+    y_plain = plain.apply(variables, x, train=False)
+
+    padded = EffNetV2Features(spec=spec, stem_channels=8, pad_ir=True)
+    y_pad = padded.apply(variables, x, train=False)
+
+    tol = 1e-5 * float(np.abs(np.asarray(y_plain)).max())
+    np.testing.assert_allclose(
+        np.asarray(y_pad), np.asarray(y_plain), atol=max(tol, 1e-5), rtol=0
+    )
+
+
 def test_pad_ir_full_b2_parity_through_acoustic_model():
     """Full B2 spec at a reduced frame size, through AcousticModel.__call__."""
     rng = np.random.default_rng(1)

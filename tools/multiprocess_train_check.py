@@ -32,12 +32,21 @@ import tempfile
 from pathlib import Path
 
 REPO = str(Path(__file__).resolve().parents[1])
-COORD = "localhost:12356"
 N_PROC = 2
 LOCAL_DEVICES = 4
 
 
-def worker(process_id: int, ckpt_dir: str) -> None:
+def _free_port() -> int:
+    """Bind-then-release a free TCP port (a FIXED port makes two concurrent
+    suite runs on one machine collide)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def worker(process_id: int, ckpt_dir: str, coord: str) -> None:
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
@@ -46,8 +55,15 @@ def worker(process_id: int, ckpt_dir: str) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # the parent's persistent compile cache (set by conftest via jax.config)
+    # does NOT propagate to subprocesses — without this every suite run
+    # cold-compiles both trainers' full graphs in both ranks
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/jax_comp_cache"),
+    )
     jax.distributed.initialize(
-        coordinator_address=COORD, num_processes=N_PROC, process_id=process_id
+        coordinator_address=coord, num_processes=N_PROC, process_id=process_id
     )
     import numpy as np
     import jax.numpy as jnp
@@ -139,15 +155,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--process_id", type=int, default=None)
     ap.add_argument("--ckpt", type=str, default=None)
+    ap.add_argument("--coord", type=str, default=None)
     args = ap.parse_args()
     if args.process_id is not None:
-        worker(args.process_id, args.ckpt)
+        worker(args.process_id, args.ckpt, args.coord)
         return
 
     ckpt_dir = tempfile.mkdtemp(prefix="m2s_mp_train_")
+    coord = f"localhost:{_free_port()}"
     procs = [
         subprocess.Popen(
-            [sys.executable, __file__, "--process_id", str(i), "--ckpt", ckpt_dir],
+            [sys.executable, __file__, "--process_id", str(i), "--ckpt", ckpt_dir,
+             "--coord", coord],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for i in range(N_PROC)

@@ -75,15 +75,20 @@ def run_case(case: str) -> None:
         gen = Generator(h=h, dtype=bf16)
         p = gen.init(jax.random.PRNGKey(0), x[:1])["params"]
 
-        def body(i, acc):
+        # params/inputs are ARGUMENTS (CLAUDE.md: closing over weights bakes
+        # them in as HLO literals — slow remote compiles AND it can change the
+        # very fusion decisions this probe bisects)
+        def body(i, acc, p_, x_):
             def loss(pp):
-                yh = gen.apply({"params": pp}, x + acc * 1e-30)
+                yh = gen.apply({"params": pp}, x_ + acc * 1e-30)
                 return jnp.mean(jnp.abs(yh))
 
-            l, g = jax.value_and_grad(loss)(p)
+            l, g = jax.value_and_grad(loss)(p_)
             return (l + jax.tree_util.tree_leaves(g)[0].reshape(-1)[0]).astype(
                 jnp.float32
             ) * 1e-30 + acc
+
+        operands = (p, x)
 
     elif case in ("mpd_fwdbwd_bf16", "msd_fwdbwd_bf16"):
         if case.startswith("mpd"):
@@ -95,20 +100,20 @@ def run_case(case: str) -> None:
             v = d.init(jax.random.PRNGKey(0), y, y)
             apply_kw = dict(mutable=["norm_stats"])
         p = v["params"]
+        ns = {k: vv for k, vv in v.items() if k == "norm_stats"}
 
-        def body(i, acc):
+        def body(i, acc, p_, ns_, y_):
             def loss(pp):
-                out = d.apply(
-                    {"params": pp, **{k: vv for k, vv in v.items() if k == "norm_stats"}},
-                    y + acc * 1e-30, y, **apply_kw,
-                )
+                out = d.apply({"params": pp, **ns_}, y_ + acc * 1e-30, y_, **apply_kw)
                 rs = out[0][0] if apply_kw else out[0]
                 return sum(jnp.mean((r - 1.0) ** 2) for r in rs)
 
-            l, g = jax.value_and_grad(loss)(p)
+            l, g = jax.value_and_grad(loss)(p_)
             return (l + jax.tree_util.tree_leaves(g)[0].reshape(-1)[0]).astype(
                 jnp.float32
             ) * 1e-30 + acc
+
+        operands = (p, ns, y)
 
     else:
         from mri2speech_tpu.train.vocoder import VocoderTrainer, VocoderTrainerConfig
@@ -127,7 +132,7 @@ def run_case(case: str) -> None:
         )
         lr = jnp.float32(h["learning_rate"])
 
-        def k_steps(state):
+        def k_steps(state, audio, lr):
             def sbody(i, st):
                 st, _ = trainer._train_step_fn(
                     st, audio, None, lr, lr, fine_tuning=False
@@ -137,26 +142,28 @@ def run_case(case: str) -> None:
             return jax.tree_util.tree_leaves(st.gen_params)[0].reshape(-1)[0].astype(jnp.float32)
 
         t0 = time.perf_counter()
-        compiled = jax.jit(k_steps).lower(state).compile()
-        float(compiled(state))
+        compiled = jax.jit(k_steps).lower(state, audio, lr).compile()
+        float(compiled(state, audio, lr))
         t1 = time.perf_counter()
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            float(compiled(state))
+            float(compiled(state, audio, lr))
             ts.append((time.perf_counter() - t0) / K)
         print(json.dumps({"case": case, "ok": True, "step_ms": round(float(np.median(ts)) * 1e3, 2)}))
         return
 
-    def k_passes():
-        return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+    def k_passes(*ops):
+        return jax.lax.fori_loop(
+            0, K, lambda i, acc: body(i, acc, *ops), jnp.float32(0.0)
+        )
 
-    compiled = jax.jit(k_passes).lower().compile()
-    float(compiled())
+    compiled = jax.jit(k_passes).lower(*operands).compile()
+    float(compiled(*operands))
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(compiled())
+        float(compiled(*operands))
         ts.append((time.perf_counter() - t0) / K)
     print(json.dumps({"case": case, "ok": True, "pass_ms": round(float(np.median(ts)) * 1e3, 2)}))
 
