@@ -72,6 +72,13 @@ def main() -> None:
              "layout bit-for-bit.",
     )
     ap.add_argument(
+        "--pad_ir", action="store_true",
+        help="128-lane zero-padding of the ir stages (EXACT inference "
+             "transform; engages only in eval/validation passes — the "
+             "training graph is unchanged). Speeds up the validation "
+             "forward; see models/effnetv2.py::_PaddedInvertedResidual.",
+    )
+    ap.add_argument(
         "--num_devices", type=int, default=1,
         help="Data-parallel device count; 0 = all available, 1 = single "
              "device (the reference's acoustic trainer is single-device; DP "
@@ -95,6 +102,7 @@ def main() -> None:
         dropout=0.5,
         use_checkpoint=args.use_checkpoint,
         stem_s2d=args.stem_s2d,
+        pad_ir=args.pad_ir,
         dtype=jnp.bfloat16 if args.bf16 else None,
     )
     if args.cnn_pretrained:
