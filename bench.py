@@ -165,9 +165,8 @@ def _slaney_mel_fb_loops(sr, n_fft, n_mels, fmin, fmax):
             if lo < f < ce:
                 fb[i, j] = (f - lo) / (ce - lo)
             elif ce <= f < hi:
+                # f == ce lands here and evaluates to exactly 1.0
                 fb[i, j] = (hi - f) / (hi - ce)
-            elif f == ce:
-                fb[i, j] = 1.0
         fb[i] *= 2.0 / (hi - lo)
     return fb.astype(np.float32)
 
@@ -276,7 +275,7 @@ def _measure_link(pipeline, frames_u8, seconds_audio, acoustic_s, gen_s):
     def cnn_body(acc, v, x):
         xx = x + (acc * 0).astype(x.dtype)
         feats = pipeline._cnn_forward(v, xx)
-        return feats[0, 0, 0].astype(jnp.float32) * 1e-30 + acc
+        return jnp.sum(feats.astype(jnp.float32)) * 1e-30 + acc
 
     cnn_s = timed_stage(
         cnn_body, (pipeline.acoustic_variables, f_dev), on_tpu=False, repeats=3
@@ -323,7 +322,7 @@ def main() -> None:
         # (uint8 + 0 is exact; see timed_stage docstring on LICM)
         xx = x + (acc * 0).astype(x.dtype)
         audio, _, _ = pipeline._forward(v, p, xx, m + acc * 1e-30)
-        return audio[0, 0, 0].astype(jnp.float32) * 1e-30 + acc
+        return jnp.sum(audio.astype(jnp.float32)) * 1e-30 + acc
 
     fused = timed_stage(
         fused_body,
@@ -336,7 +335,7 @@ def main() -> None:
     def acoustic_body(acc, v, x, m):
         g = pipeline._normalize_frames(x + (acc * 0).astype(x.dtype))
         pred = pipeline.acoustic_model.apply(v, g, train=False, mask=m + acc * 1e-30)
-        return pred[0, 0, 0].astype(jnp.float32) * 1e-30 + acc
+        return jnp.sum(pred.astype(jnp.float32)) * 1e-30 + acc
 
     acoustic_stats = timed_stage(
         acoustic_body, (pipeline.acoustic_variables, f_dev, m_dev), on_tpu=on_tpu
@@ -351,7 +350,7 @@ def main() -> None:
 
     def generator_body(acc, p, x):
         audio = pipeline.generator.apply({"params": p}, x + acc.astype(x.dtype) * 1e-3)
-        return audio[0, 0, 0].astype(jnp.float32) * 1e-30 + acc
+        return jnp.sum(audio.astype(jnp.float32)) * 1e-30 + acc
 
     generator_stats = timed_stage(
         generator_body, (pipeline.generator_params, x_mel), on_tpu=on_tpu
@@ -366,7 +365,7 @@ def main() -> None:
 
     def generator_q_body(acc, p, x):
         audio = gen_q.apply({"params": p}, x + acc.astype(x.dtype) * 1e-3)
-        return audio[0, 0, 0].astype(jnp.float32) * 1e-30 + acc
+        return jnp.sum(audio.astype(jnp.float32)) * 1e-30 + acc
 
     generator_q_stats = timed_stage(
         generator_q_body, (pipeline.generator_params, x_mel), on_tpu=on_tpu

@@ -65,6 +65,10 @@ class VideoToSpeechPipeline:
           Two compiled programs regardless of video length: CNN at
           (1, frame_bucket, ...) and the tail per padded length bucket.
         """
+        if input_norm not in ("none", "zscore_minmax"):
+            raise ValueError(
+                f"input_norm must be 'none' or 'zscore_minmax', got {input_norm!r}"
+            )
         self.acoustic_model = acoustic_model
         # device_put once; weights are passed as jit ARGUMENTS (closing over
         # them would embed tens of MB of literals in the HLO and stall
@@ -284,9 +288,13 @@ def build_pipeline_from_checkpoints(
         generator = Generator(
             h=generator.h, use_weight_norm=False, quantize_mrf=True, dtype=dtype
         )
+    # hop_total derives from the loaded config (the upsample-rate product),
+    # NOT a hardcoded 420 — non-default HiFi-GAN configs would otherwise
+    # silently mistrim the waveform
+    hop_total = int(np.prod(generator.h["upsample_rates"]))
     return VideoToSpeechPipeline(
         model, variables, generator, gen_params, scaler,
-        frame_bucket=frame_bucket, streaming=streaming,
+        hop_total=hop_total, frame_bucket=frame_bucket, streaming=streaming,
     )
 
 
@@ -340,8 +348,10 @@ def main() -> None:
     parser.add_argument(
         "--int8", action="store_true",
         help="int8-quantized vocoder MRF convs (LOSSY opt-in serving mode; "
-             "~1.4%% waveform rel-L2 vs the exact path — see ops/quant.py "
-             "and docs/BENCH_NOTES.md).",
+             "~1.4%% waveform rel-L2 vs the exact path measured on RANDOM "
+             "weights/mels — dynamic activation scales make the error "
+             "distribution-dependent, so validate on your own checkpoint; "
+             "see ops/quant.py and docs/BENCH_NOTES.md).",
     )
     parser.add_argument(
         "--no-stem-s2d", action="store_true",
@@ -367,11 +377,14 @@ def main() -> None:
         streaming=args.streaming, quantize=args.int8,
         stem_s2d=not args.no_stem_s2d, pad_ir=not args.no_pad_ir,
     )
-    audio, stats = pipeline.timed_run(frames)
-    _, mel_db, mel_log = pipeline(frames)
-
     with open(args.hifigan_config, "r", encoding="utf-8") as f:
         sr = json.load(f)["sampling_rate"]
+    # first pass warms the compile AND fetches the mel artifacts; the timed
+    # pass then skips its own warmup — 2 device passes total instead of 3
+    # (each discarded pass costs a full fused dispatch + a multi-MB fetch on
+    # a remote-tunnel host)
+    audio, mel_db, mel_log = pipeline(frames)
+    audio, stats = pipeline.timed_run(frames, sr=sr, warmup=False)
     stem = video_path.stem
     output_dir = Path(args.output_dir)
     audio_path, mel_path, fig_path = save_outputs(audio, mel_db, output_dir, sr, stem)

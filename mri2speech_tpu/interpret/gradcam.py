@@ -146,8 +146,15 @@ def _cam_programs(model, reduction: str, B: int, T: int, target_hw: tuple):
                 return jnp.mean(band_power(v, f_, mean, std, band_mask)[:, idx])
 
             grads = jax.grad(target)(f)
-            cam = _cam_from_grads(f, grads, B, T, target_hw)  # (B, T, H, W)
-            return cam[0, idx]
+            # slice the target frame's low-res CAM BEFORE the bilinear
+            # upsample + normalise (identical math — both are per-frame —
+            # but 1 resize per lane instead of B*T)
+            weights = jnp.mean(grads, axis=(1, 2), keepdims=True)
+            cam_lo = jax.nn.relu(jnp.sum(weights * f, axis=-1))  # (B*T, h, w)
+            cam = cam_lo.reshape(B, T, *cam_lo.shape[1:])[0, idx]
+            cam = jax.image.resize(cam, tuple(target_hw), method="bilinear")
+            cam = cam - jnp.min(cam)
+            return cam / (jnp.max(cam) + 1e-6)
 
         return jax.vmap(one)(idxs)  # (N, H, W)
 
@@ -283,10 +290,18 @@ def main() -> None:
     )
     frames = load_video_frames_for_inference(Path(args.video))
 
+    if scaler.n_mels != args.n_mels:
+        raise ValueError(
+            f"Scaler mean/std length ({scaler.n_mels}) does not match "
+            f"--n-mels ({args.n_mels})"
+        )
     model = AcousticModel(n_mels=args.n_mels)
     obj = ckpt_io.load_checkpoint_raw(args.mri_checkpoint)
+    # same key fallbacks as the inference pipeline (converted torch
+    # checkpoints save under 'model_state_dict', convert_torch_checkpoint.py)
+    params = obj.get("params", obj.get("model_state_dict", obj))
     variables = {
-        "params": obj.get("params", obj),
+        "params": params,
         "batch_stats": obj.get("batch_stats", {}),
     }
 

@@ -46,9 +46,8 @@ def _slaney_mel_fb_loops(sr, n_fft, n_mels, fmin, fmax):
             if lo < f < ce:
                 fb[i, j] = (f - lo) / (ce - lo)
             elif ce <= f < hi:
+                # f == ce lands here and evaluates to exactly 1.0
                 fb[i, j] = (hi - f) / (hi - ce)
-            elif f == ce:
-                fb[i, j] = 1.0
         fb[i] *= 2.0 / (hi - lo)
     return fb.astype(np.float32)
 
