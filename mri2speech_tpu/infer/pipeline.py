@@ -181,6 +181,53 @@ class VideoToSpeechPipeline:
         audio, _, _ = self._run_device(frames)
         return np.asarray(audio)[0, 0, : frames.shape[0] * self.hop_total]
 
+    def infer_batch(self, videos):
+        """Batched serving: N videos -> (N waveforms, N mel_db arrays) in ONE
+        fused dispatch.
+
+        Production-throughput path beyond the reference's one-video-per-
+        process loop (`run_mri_video_inference.py:203-255`): all videos are
+        replicate-padded to the max bucket-multiple length and run as one
+        batch. Batched throughput measured near-linear on the chip
+        (BENCH_NOTES "batched serving": per-utterance device RTF
+        0.00251/0.00257/0.00281 at batch 1/2/4).
+
+        Contract: mel predictions at each video's valid frames are
+        mask-EXACT vs a per-video run (BiLSTM mask); each waveform is
+        trimmed to its own T*hop samples, and its final fraction of a
+        second sees the batch's longer replicate-pad context instead of the
+        solo run's (bounded by the generator's receptive field — see
+        parity_notes "serving-tail padding effect"). Monolithic dispatch
+        only; one compiled program per (batch, padded-length) bucket.
+        """
+        videos = list(videos)
+        if not videos:
+            return [], []
+        Ts = [int(v.shape[0]) for v in videos]
+        hw = videos[0].shape[1:]
+        Tp = ((max(Ts) + self.frame_bucket - 1) // self.frame_bucket) * self.frame_bucket
+        fb = np.empty((len(videos), Tp, 1) + hw, dtype=videos[0].dtype)
+        mb = np.zeros((len(videos), Tp), dtype=np.float32)
+        for i, v in enumerate(videos):
+            if v.shape[1:] != hw:
+                raise ValueError(
+                    f"all videos in a batch must share the frame size; got "
+                    f"{v.shape[1:]} vs {hw}"
+                )
+            fb[i, : Ts[i], 0] = v
+            fb[i, Ts[i] :, 0] = v[-1]  # replicate-pad (masked in the BiLSTM)
+            mb[i, : Ts[i]] = 1.0
+        audio, mel_db, _ = self._fn(
+            self.acoustic_variables, self.generator_params,
+            jnp.asarray(fb), jnp.asarray(mb),
+        )
+        audio = np.asarray(audio)
+        mel_db = np.asarray(mel_db)
+        return (
+            [audio[i, 0, : t * self.hop_total] for i, t in enumerate(Ts)],
+            [mel_db[i, :t] for i, t in enumerate(Ts)],
+        )
+
     def prepare_inputs(self, frames: np.ndarray):
         """Host-side framing: pad to the bucket, build the validity mask.
 

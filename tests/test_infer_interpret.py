@@ -63,6 +63,45 @@ def test_pipeline_shapes_and_padding_exactness(tiny_setup):
     np.testing.assert_allclose(mel_db, mel_db_exact, atol=2e-4, rtol=1e-4)
 
 
+def test_pipeline_batched_inference(tiny_setup):
+    """infer_batch: mel mask-exactness per video + exact audio when the
+    batch padding equals the solo padding."""
+    acoustic, variables, gen, gen_params, scaler, h = tiny_setup
+    rng = np.random.default_rng(7)
+    pipe = VideoToSpeechPipeline(
+        acoustic, variables, gen, gen_params, scaler, frame_bucket=8
+    )
+
+    # equal, bucket-multiple lengths: batch == solo EXACTLY (same padding)
+    v1 = rng.random((8, 64, 64)).astype(np.float32)
+    v2 = rng.random((8, 64, 64)).astype(np.float32)
+    audios, mels = pipe.infer_batch([v1, v2])
+    for v, a, m in zip((v1, v2), audios, mels):
+        a_solo, m_solo, _ = pipe(v)
+        np.testing.assert_allclose(a, a_solo, atol=1e-6)
+        np.testing.assert_allclose(m, m_solo, atol=1e-6)
+
+    # mixed lengths: mel predictions at valid frames stay mask-exact vs the
+    # solo runs; audio is per-video length-trimmed (tail context differs
+    # within the generator's receptive field — parity_notes)
+    v3 = rng.random((5, 64, 64)).astype(np.float32)
+    audios, mels = pipe.infer_batch([v1, v3])
+    assert [len(a) for a in audios] == [8 * 420, 5 * 420]
+    for v, m in zip((v1, v3), mels):
+        _, m_solo, _ = pipe(v)
+        np.testing.assert_allclose(m, m_solo, atol=2e-4, rtol=1e-4)
+    assert all(np.all(np.isfinite(a)) for a in audios)
+
+    # batch of one equals the solo run bit-for-bit (same shapes end-to-end)
+    audios, mels = pipe.infer_batch([v3])
+    a_solo, m_solo, _ = pipe(v3)
+    np.testing.assert_allclose(audios[0], a_solo, atol=1e-6)
+
+    assert pipe.infer_batch([]) == ([], [])
+    with pytest.raises(ValueError):
+        pipe.infer_batch([v1, rng.random((4, 32, 32)).astype(np.float32)])
+
+
 def test_pipeline_streaming_matches_monolithic(tiny_setup):
     """Chunked-upload streaming mode is bit-identical to the fused dispatch
     (the CNN is frame-wise, so per-block evaluation is exact), and the
