@@ -42,6 +42,8 @@ def lstm_direction(
     reverse: bool = False,
     unroll: int = 8,
     mask: Optional[Array] = None,
+    init_state: Optional[tuple] = None,
+    return_state: bool = False,
 ) -> Array:
     """Run one LSTM direction over (B, T, C) -> (B, T, H).
 
@@ -50,6 +52,11 @@ def lstm_direction(
     `mask` (B, T), 1=valid: padded steps hold the carry unchanged, which makes
     trailing-padded inference EXACT for real frames in both directions (the
     backward pass would otherwise leak padded-frame state into real frames).
+
+    `init_state` ((B, H), (B, H)) seeds (h, c) instead of zeros and
+    `return_state=True` additionally returns the final (h, c) — the carried
+    forward state of the ONLINE streaming path (`infer/online.py`), where each
+    window continues exactly from the previous window's recurrence.
     """
     B, T, _ = x_seq.shape
     H = w_hh.shape[0]
@@ -74,17 +81,23 @@ def lstm_direction(
         h = o * jnp.tanh(c)
         return h, c
 
-    init = (
-        jnp.zeros((B, H), compute_dtype),
-        jnp.zeros((B, H), compute_dtype),
-    )
+    if init_state is None:
+        init = (
+            jnp.zeros((B, H), compute_dtype),
+            jnp.zeros((B, H), compute_dtype),
+        )
+    else:
+        init = (
+            init_state[0].astype(compute_dtype),
+            init_state[1].astype(compute_dtype),
+        )
 
     if mask is None:
         def step(carry, xg_t):
             h, c = compute(*carry, xg_t)
             return (h, c), h
 
-        _, ys = jax.lax.scan(step, init, xg, reverse=reverse, unroll=unroll)
+        final, ys = jax.lax.scan(step, init, xg, reverse=reverse, unroll=unroll)
     else:
         m_seq = jnp.swapaxes(mask.astype(compute_dtype), 0, 1)[..., None]  # (T, B, 1)
 
@@ -96,8 +109,11 @@ def lstm_direction(
             c = m_t * c1 + (1.0 - m_t) * c0
             return (h, c), h
 
-        _, ys = jax.lax.scan(step, init, (xg, m_seq), reverse=reverse, unroll=unroll)
-    return jnp.swapaxes(ys, 0, 1)  # (B, T, H)
+        final, ys = jax.lax.scan(step, init, (xg, m_seq), reverse=reverse, unroll=unroll)
+    ys = jnp.swapaxes(ys, 0, 1)  # (B, T, H)
+    if return_state:
+        return ys, final
+    return ys
 
 
 class BiLSTMSumMerge(nn.Module):

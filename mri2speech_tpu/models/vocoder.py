@@ -405,6 +405,56 @@ class Generator(nn.Module):
         return jnp.swapaxes(x, 1, 2)  # (B, 1, T*420)
 
 
+def generator_receptive_field(h: dict):
+    """Exact dependency cone of the Generator, in mel frames.
+
+    Returns ``(left, right)`` such that audio sample ``t`` depends ONLY on mel
+    frames ``[t // hop - left, t // hop + right]`` (hop = prod(upsample_rates)).
+    Computed by propagating an output-sample interval backward through every
+    layer with exact integer index arithmetic:
+
+    * causal conv (left-pad ``d*(k-1)``): ``in = [lo - d*(k-1), hi]``
+    * right-pad conv_pre/conv_post (pad ``(0, k-1)``): ``in = [lo, hi + k - 1]``
+    * ConvTranspose (torch semantics, stride ``u``, pad ``p``):
+      ``in = [ceil((lo + p - k + 1)/u), floor((hi + p)/u)]``
+
+    This is what makes the ONLINE windowed generator (`infer/online.py`) exact:
+    any audio slice whose cone lies inside a window of real mel context is
+    bit-comparable to the full-sequence run.
+    """
+    rb_kernels = tuple(h["resblock_kernel_sizes"])
+    rb_dils = tuple(tuple(d) for d in h["resblock_dilation_sizes"])
+    two_convs_per_unit = str(h["resblock"]) == "1"  # ResBlock1: dconv + conv(d=1)
+    hop = 1
+    for u in h["upsample_rates"]:
+        hop *= u
+
+    N = 1 << 20  # far from either edge
+    lo, hi = N * hop, (N + 1) * hop - 1
+
+    def mrf(lo, hi):
+        # parallel branches (averaged): union of each branch's serial cone;
+        # causal convs only extend `lo` downward, `hi` is unchanged.
+        best_lo = lo
+        for k, dils in zip(rb_kernels, rb_dils):
+            unit_tail = (k - 1) if two_convs_per_unit else 0
+            ext = sum(d * (k - 1) + unit_tail for d in dils)
+            best_lo = min(best_lo, lo - ext)
+        return best_lo, hi
+
+    # walk output -> input: conv_post, then stages in reverse, then conv_pre
+    hi += 6  # conv_post k=7, pad (0, 6)
+    for u, k in zip(
+        reversed(h["upsample_rates"]), reversed(h["upsample_kernel_sizes"])
+    ):
+        lo, hi = mrf(lo, hi)
+        p = (k - u) // 2
+        lo = -((-(lo + p - k + 1)) // u)  # ceil div
+        hi = (hi + p) // u
+    hi += 6  # conv_pre k=7, pad (0, 6)
+    return N - lo, hi - N
+
+
 class DiscriminatorP(nn.Module):
     """Period discriminator (`models.py:143-176`).
 
