@@ -353,3 +353,88 @@ class OnlineVideoToSpeech:
             else np.zeros((0, int(self.mean.shape[0])), np.float32)
         )
         return audio, mel
+
+
+def main() -> None:
+    """CLI: simulate real-time streaming of a video file through the online
+    path — emits the wav and reports per-chunk wall time vs the real-time
+    budget (the offline equivalent of this surface is `infer.pipeline:main`)."""
+    import argparse
+    import json
+    import time
+    from pathlib import Path
+
+    from mri2speech_tpu.data.audio_io import (
+        load_video_frames_for_inference,
+        write_wav_float,
+    )
+    from mri2speech_tpu.infer.pipeline import build_pipeline_from_checkpoints
+
+    ap = argparse.ArgumentParser(
+        description="rtMRI -> Speech ONLINE streaming inference "
+        "(bounded-latency incremental emission)"
+    )
+    ap.add_argument("--video", required=True)
+    ap.add_argument("--mri-checkpoint", required=True)
+    ap.add_argument("--scaler-json", required=True)
+    ap.add_argument("--hifigan-config", required=True)
+    ap.add_argument("--hifigan-checkpoint", required=True)
+    ap.add_argument("--output-dir", required=True)
+    ap.add_argument("--chunk", type=int, default=16, help="frames per push")
+    ap.add_argument(
+        "--lookahead", type=int, default=16,
+        help="backward-LSTM lookahead frames (exactness/latency trade)",
+    )
+    ap.add_argument("--max-frames", type=int, default=None)
+    args = ap.parse_args()
+
+    video = Path(args.video)
+    if not video.exists():
+        raise FileNotFoundError(f"Video file not found: {video}")
+    frames = load_video_frames_for_inference(video, max_frames=args.max_frames)
+
+    pipe = build_pipeline_from_checkpoints(
+        args.mri_checkpoint, args.scaler_json, args.hifigan_config,
+        args.hifigan_checkpoint,
+    )
+    online = OnlineVideoToSpeech.from_pipeline(
+        pipe, chunk=args.chunk, lookahead=args.lookahead, input_norm="none"
+    )
+    with open(args.hifigan_config, "r", encoding="utf-8") as f:
+        sr = json.load(f)["sampling_rate"]
+    budget = args.chunk * online.hop / sr
+
+    # warm the four compiled programs (enough chunks that the prefix AND the
+    # steady generator windows both run), then stream for real
+    warm_n = min(len(frames), online.latency_frames + (online.l + 1) * online.W)
+    online.push(frames[:warm_n])
+    online.flush()
+    online.reset()
+
+    pieces, times = [], []
+    for i in range(0, frames.shape[0], args.chunk):
+        t0 = time.perf_counter()
+        audio, _ = online.push(frames[i : i + args.chunk])
+        times.append(time.perf_counter() - t0)
+        pieces.append(audio)
+    audio, _ = online.flush()
+    pieces.append(audio)
+    wav = np.concatenate(pieces)
+
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    wav_path = out_dir / f"{video.stem}_online.wav"
+    write_wav_float(str(wav_path), wav, sr)
+
+    med = float(np.median(times))
+    print("[DONE] Online streaming inference complete.")
+    print(f"  Audio    : {wav_path} ({wav.size / sr:.2f}s)")
+    print(f"  Chunk    : {args.chunk} frames ({budget * 1000:.0f} ms budget)")
+    print(f"  Median   : {med * 1000:.1f} ms/chunk -> steady RTF {med / budget:.3f}")
+    print(f"  Worst    : {max(times) * 1000:.1f} ms/chunk")
+    print(f"  Latency  : {online.latency_frames} frames "
+          f"({online.latency_frames * online.hop / sr:.2f}s algorithmic)")
+
+
+if __name__ == "__main__":
+    main()
