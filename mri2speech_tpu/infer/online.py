@@ -301,15 +301,24 @@ class OnlineVideoToSpeech:
                 f"{self._frame_hw}"
             )
         out = {"audio": [], "mel": []}
-        self._pending.append(frames)
-        self._pending_count += frames.shape[0]
         self._t_real += frames.shape[0]
-        while self._pending_count >= self.W:
-            buf = np.concatenate(self._pending, axis=0)
-            chunk, rest = buf[: self.W], buf[self.W :]
-            self._pending = [rest] if rest.shape[0] else []
-            self._pending_count = rest.shape[0]
-            self._process_chunk(chunk, np.ones(self.W, np.float32), out)
+        if self._pending_count + frames.shape[0] < self.W:
+            if frames.shape[0]:
+                self._pending.append(frames)
+                self._pending_count += frames.shape[0]
+            return self._collect(out)
+        # one concat, then slice W-frame chunks out of it (no O(n^2) recopy
+        # of the remainder on bulk pushes)
+        buf = np.concatenate(self._pending + [frames], axis=0)
+        self._pending, self._pending_count = [], 0
+        ones = np.ones(self.W, np.float32)
+        pos = 0
+        while buf.shape[0] - pos >= self.W:
+            self._process_chunk(buf[pos : pos + self.W], ones, out)
+            pos += self.W
+        if pos < buf.shape[0]:
+            self._pending = [buf[pos:]]
+            self._pending_count = buf.shape[0] - pos
         return self._collect(out)
 
     def flush(self) -> Tuple[np.ndarray, np.ndarray]:

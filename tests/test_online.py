@@ -167,6 +167,33 @@ def test_online_finite_lookahead_tail_exact(tiny_setup):
     assert errs[32] <= errs[8] + 1e-6
 
 
+def test_online_uint8_zscore_matches_offline(tiny_setup):
+    """from_pipeline inherits the pipeline's on-device input normalisation:
+    raw uint8 frames through the online path == the offline uint8 pipeline
+    (full lookahead)."""
+    acoustic, variables, gen, gen_params, scaler, h = tiny_setup
+    rng = np.random.default_rng(11)
+    T = 24
+    frames = (rng.random((T, 32, 32)) * 255).astype(np.uint8)
+
+    offline = VideoToSpeechPipeline(
+        acoustic, variables, gen, gen_params, scaler,
+        frame_bucket=1, input_norm="zscore_minmax",
+    )
+    audio_ref, mel_ref, _ = offline(frames)
+
+    online = OnlineVideoToSpeech.from_pipeline(
+        offline, chunk=8, lookahead=T + 8
+    )
+    assert online.input_norm == "zscore_minmax"
+    a1, m1 = online.push(frames)
+    a2, m2 = online.flush()
+    audio = np.concatenate([a1, a2])
+    mel = np.concatenate([m1, m2], axis=0)
+    np.testing.assert_allclose(mel, mel_ref, atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(audio[:-6], audio_ref[:-6], atol=1e-5)
+
+
 def test_online_rejects_bad_inputs(tiny_setup):
     acoustic, variables, gen, gen_params, scaler, h = tiny_setup
     online = OnlineVideoToSpeech(
