@@ -47,6 +47,7 @@ class VideoToSpeechPipeline:
         frame_bucket: int = 64,
         input_norm: str = "none",
         streaming: bool = False,
+        mesh=None,
     ) -> None:
         """input_norm:
         * "none" — frames arrive already normalised (float [0,1] or z-scored)
@@ -64,15 +65,29 @@ class VideoToSpeechPipeline:
           scaler + bridge + generator) runs once on the concatenated features.
           Two compiled programs regardless of video length: CNN at
           (1, frame_bucket, ...) and the tail per padded length bucket.
+
+        mesh:
+        * an optional `jax.sharding.Mesh` with a "data" axis (see
+          `parallel/mesh.py::make_mesh`): `infer_batch` then shards the video
+          batch over the mesh's data axis (params replicated, GSPMD inserts
+          nothing — the computation is embarrassingly batch-parallel), scaling
+          serving throughput across chips. Per-video outputs are exact vs the
+          single-device run (everything is per-sample at inference).
         """
         if input_norm not in ("none", "zscore_minmax"):
             raise ValueError(
                 f"input_norm must be 'none' or 'zscore_minmax', got {input_norm!r}"
             )
         self.acoustic_model = acoustic_model
+        self.mesh = mesh
         # device_put once; weights are passed as jit ARGUMENTS (closing over
         # them would embed tens of MB of literals in the HLO and stall
         # compilation, especially with remote compile)
+        if mesh is not None:
+            from mri2speech_tpu.parallel.mesh import replicate
+
+            acoustic_variables = replicate(acoustic_variables, mesh)
+            generator_params = replicate(generator_params, mesh)
         self.acoustic_variables = jax.device_put(acoustic_variables)
         self.generator = generator
         self.generator_params = jax.device_put(generator_params)
@@ -148,21 +163,36 @@ class VideoToSpeechPipeline:
         audio = self.generator.apply({"params": generator_params}, x)
         return audio, mel_db, mel_log
 
+    def _put_input(self, x):
+        """device_put an input array consistently with the params' placement.
+
+        On a mesh pipeline the params live replicated across the mesh; a
+        batch-1 input on the default device alone would make jit raise
+        "incompatible devices", so single-video inputs are replicated too
+        (GSPMD then runs the batch-1 program redundantly on every chip —
+        correct, and the mesh exists for `infer_batch` throughput anyway).
+        """
+        if self.mesh is None:
+            return jax.device_put(x)
+        from mri2speech_tpu.parallel.mesh import replicated_sharding
+
+        return jax.device_put(np.asarray(x), replicated_sharding(self.mesh))
+
     def _run_device(self, frames: np.ndarray):
         """Dispatch the full pipeline; returns device arrays (audio, mels)."""
         f, mask = self.prepare_inputs(frames)
         if not self.streaming:
             return self._fn(
                 self.acoustic_variables, self.generator_params,
-                jnp.asarray(f), jnp.asarray(mask),
+                self._put_input(f), self._put_input(mask),
             )
         Tc = self.frame_bucket
         n_blocks = f.shape[1] // Tc
-        mask_dev = jax.device_put(mask)
+        mask_dev = self._put_input(mask)
         feats = []
         for i in range(n_blocks):
             # contiguous zero-copy host view -> async upload -> async CNN
-            block = jax.device_put(f[:, i * Tc : (i + 1) * Tc])
+            block = self._put_input(f[:, i * Tc : (i + 1) * Tc])
             feats.append(self._cnn_fn(self.acoustic_variables, block))
         return self._tail_fn(
             self.acoustic_variables, self.generator_params, tuple(feats), mask_dev
@@ -217,9 +247,22 @@ class VideoToSpeechPipeline:
             fb[i, : Ts[i], 0] = v
             fb[i, Ts[i] :, 0] = v[-1]  # replicate-pad (masked in the BiLSTM)
             mb[i, : Ts[i]] = 1.0
+        if self.mesh is not None:
+            from mri2speech_tpu.parallel.mesh import shard_batch
+
+            # pad the batch dim to a data-axis multiple (dummy rows are
+            # fully masked and trimmed below; inference is per-sample, so
+            # real rows are unaffected), then shard batch-parallel
+            nd = self.mesh.shape["data"]
+            pad = (-len(videos)) % nd
+            if pad:
+                fb = np.concatenate([fb, np.repeat(fb[-1:], pad, axis=0)])
+                mb = np.concatenate([mb, np.zeros((pad,) + mb.shape[1:], mb.dtype)])
+            fb, mb = shard_batch((fb, mb), self.mesh)
+        else:
+            fb, mb = jnp.asarray(fb), jnp.asarray(mb)
         audio, mel_db, _ = self._fn(
-            self.acoustic_variables, self.generator_params,
-            jnp.asarray(fb), jnp.asarray(mb),
+            self.acoustic_variables, self.generator_params, fb, mb,
         )
         audio = np.asarray(audio)
         mel_db = np.asarray(mel_db)
@@ -286,6 +329,7 @@ def build_pipeline_from_checkpoints(
     dtype=None,
     stem_s2d: bool = True,
     pad_ir: bool = True,
+    mesh=None,
 ) -> VideoToSpeechPipeline:
     from mri2speech_tpu.infer.vocoder_io import load_generator
     from mri2speech_tpu.models.vocoder import (
@@ -342,6 +386,7 @@ def build_pipeline_from_checkpoints(
     return VideoToSpeechPipeline(
         model, variables, generator, gen_params, scaler,
         hop_total=hop_total, frame_bucket=frame_bucket, streaming=streaming,
+        mesh=mesh,
     )
 
 

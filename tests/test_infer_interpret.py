@@ -102,6 +102,46 @@ def test_pipeline_batched_inference(tiny_setup):
         pipe.infer_batch([v1, rng.random((4, 32, 32)).astype(np.float32)])
 
 
+def test_pipeline_mesh_sharded_batch(tiny_setup):
+    """Mesh-sharded batched serving: outputs exact vs the single-device
+    pipeline, including when the batch must be padded to a data-axis
+    multiple and on the single-video (replicated-input) paths."""
+    from mri2speech_tpu.parallel.mesh import make_mesh
+
+    acoustic, variables, gen, gen_params, scaler, h = tiny_setup
+    rng = np.random.default_rng(11)
+    mesh = make_mesh(n_data=4)
+    pipe = VideoToSpeechPipeline(
+        acoustic, variables, gen, gen_params, scaler, frame_bucket=8
+    )
+    pipe_mesh = VideoToSpeechPipeline(
+        acoustic, variables, gen, gen_params, scaler, frame_bucket=8, mesh=mesh
+    )
+
+    videos = [rng.random((8, 64, 64)).astype(np.float32) for _ in range(4)]
+    a_ref, m_ref = pipe.infer_batch(videos)
+    a_mesh, m_mesh = pipe_mesh.infer_batch(videos)
+    for ar, am, mr, mm in zip(a_ref, a_mesh, m_ref, m_mesh):
+        np.testing.assert_allclose(am, ar, atol=1e-6)
+        np.testing.assert_allclose(mm, mr, atol=1e-6)
+
+    # batch of 2 on a 4-way data axis: padded rows are masked dummies and
+    # must not perturb the real rows
+    a_mesh2, m_mesh2 = pipe_mesh.infer_batch(videos[:2])
+    for ar, am, mr, mm in zip(a_ref[:2], a_mesh2, m_ref[:2], m_mesh2):
+        np.testing.assert_allclose(am, ar, atol=1e-6)
+        np.testing.assert_allclose(mm, mr, atol=1e-6)
+
+    # single-video paths on a mesh pipeline: inputs replicate, outputs exact
+    a_solo, m_solo, _ = pipe(videos[0])
+    a_solo_mesh, m_solo_mesh, _ = pipe_mesh(videos[0])
+    np.testing.assert_allclose(a_solo_mesh, a_solo, atol=1e-6)
+    np.testing.assert_allclose(m_solo_mesh, m_solo, atol=1e-6)
+    np.testing.assert_allclose(
+        pipe_mesh.infer_audio(videos[0]), a_solo, atol=1e-6
+    )
+
+
 def test_pipeline_streaming_matches_monolithic(tiny_setup):
     """Chunked-upload streaming mode is bit-identical to the fused dispatch
     (the CNN is frame-wise, so per-block evaluation is exact), and the
