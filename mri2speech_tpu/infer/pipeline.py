@@ -211,7 +211,7 @@ class VideoToSpeechPipeline:
         audio, _, _ = self._run_device(frames)
         return np.asarray(audio)[0, 0, : frames.shape[0] * self.hop_total]
 
-    def infer_batch(self, videos):
+    def infer_batch(self, videos, batch_multiple: int = 1):
         """Batched serving: N videos -> (N waveforms, N mel_db arrays) in ONE
         fused dispatch.
 
@@ -229,6 +229,12 @@ class VideoToSpeechPipeline:
         solo run's (bounded by the generator's receptive field — see
         parity_notes "serving-tail padding effect"). Monolithic dispatch
         only; one compiled program per (batch, padded-length) bucket.
+
+        batch_multiple: pad the batch dim to a multiple of this with
+        fully-masked dummy rows (trimmed from the outputs) — lets a serving
+        loop with varying request counts reuse one compiled program per
+        length bucket instead of recompiling per batch size. On a mesh
+        pipeline the batch additionally pads to a data-axis multiple.
         """
         videos = list(videos)
         if not videos:
@@ -236,8 +242,15 @@ class VideoToSpeechPipeline:
         Ts = [int(v.shape[0]) for v in videos]
         hw = videos[0].shape[1:]
         Tp = ((max(Ts) + self.frame_bucket - 1) // self.frame_bucket) * self.frame_bucket
-        fb = np.empty((len(videos), Tp, 1) + hw, dtype=videos[0].dtype)
-        mb = np.zeros((len(videos), Tp), dtype=np.float32)
+        bm = max(1, int(batch_multiple))
+        if self.mesh is not None:
+            nd = self.mesh.shape["data"]
+            bm = bm * nd // np.gcd(bm, nd)
+        # dummy rows replicate the last video's frames but carry an all-zero
+        # mask; inference is per-sample, so real rows are unaffected
+        B = ((len(videos) + bm - 1) // bm) * bm
+        fb = np.empty((B, Tp, 1) + hw, dtype=videos[0].dtype)
+        mb = np.zeros((B, Tp), dtype=np.float32)
         for i, v in enumerate(videos):
             if v.shape[1:] != hw:
                 raise ValueError(
@@ -247,17 +260,10 @@ class VideoToSpeechPipeline:
             fb[i, : Ts[i], 0] = v
             fb[i, Ts[i] :, 0] = v[-1]  # replicate-pad (masked in the BiLSTM)
             mb[i, : Ts[i]] = 1.0
+        fb[len(videos):] = fb[len(videos) - 1]
         if self.mesh is not None:
             from mri2speech_tpu.parallel.mesh import shard_batch
 
-            # pad the batch dim to a data-axis multiple (dummy rows are
-            # fully masked and trimmed below; inference is per-sample, so
-            # real rows are unaffected), then shard batch-parallel
-            nd = self.mesh.shape["data"]
-            pad = (-len(videos)) % nd
-            if pad:
-                fb = np.concatenate([fb, np.repeat(fb[-1:], pad, axis=0)])
-                mb = np.concatenate([mb, np.zeros((pad,) + mb.shape[1:], mb.dtype)])
             fb, mb = shard_batch((fb, mb), self.mesh)
         else:
             fb, mb = jnp.asarray(fb), jnp.asarray(mb)
@@ -323,6 +329,7 @@ def build_pipeline_from_checkpoints(
     frame_bucket: int = 64,
     fuse_mrf: bool = True,
     streaming: bool = False,
+    input_norm: str = "none",
     quantize: bool = False,
     cnn_spec=None,
     cnn_stem=None,
@@ -386,7 +393,7 @@ def build_pipeline_from_checkpoints(
     return VideoToSpeechPipeline(
         model, variables, generator, gen_params, scaler,
         hop_total=hop_total, frame_bucket=frame_bucket, streaming=streaming,
-        mesh=mesh,
+        input_norm=input_norm, mesh=mesh,
     )
 
 

@@ -1,0 +1,165 @@
+"""Serving daemon tests: dynamic batching semantics + the HTTP protocol.
+
+Runs the real ThreadingHTTPServer on an ephemeral port with the tiny model
+stack (CPU). A serving surface the reference lacks entirely — the contract
+under test is ours: batched dispatches are exact per request, errors come
+back as HTTP 400 without killing the worker, and `batch_multiple` keeps
+the compiled-program count at one per length bucket.
+"""
+import http.client
+import io
+import json
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mri2speech_tpu.config import default_vocoder_config
+from mri2speech_tpu.infer.pipeline import VideoToSpeechPipeline
+from mri2speech_tpu.infer.server import BatchingInferenceServer, serve, wav_bytes
+from mri2speech_tpu.models.acoustic import AcousticModel
+from mri2speech_tpu.models.effnetv2 import StageSpec
+from mri2speech_tpu.models.layers import fold_weight_norm
+from mri2speech_tpu.models.vocoder import Generator
+from mri2speech_tpu.ops.scaler import MelScaler
+
+TINY_SPEC = (
+    StageSpec("cn", 3, 1, 1, 8, 1),
+    StageSpec("er", 3, 2, 2, 8, 1),
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    acoustic = AcousticModel(n_mels=64, rnn_hidden=16, cnn_spec=TINY_SPEC, cnn_stem=8)
+    variables = acoustic.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, 1, 32, 32)), train=False
+    )
+    h = dict(default_vocoder_config(upsample_initial_channel=32))
+    gen_wn = Generator(h=h)
+    params_wn = gen_wn.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 4)))["params"]
+    gen = Generator(h=h, use_weight_norm=False)
+    gen_params = fold_weight_norm(jax.device_get(params_wn))
+    scaler = MelScaler(
+        mean=np.linspace(-40, -10, 64).astype(np.float32),
+        std=np.full(64, 5.0, dtype=np.float32),
+    )
+    return VideoToSpeechPipeline(
+        acoustic, variables, gen, gen_params, scaler, frame_bucket=8
+    )
+
+
+def test_infer_batch_batch_multiple(tiny_pipeline):
+    """Dummy-row padding to a batch multiple leaves real outputs exact."""
+    rng = np.random.default_rng(3)
+    videos = [rng.random((8, 32, 32)).astype(np.float32) for _ in range(3)]
+    a_ref, m_ref = tiny_pipeline.infer_batch(videos)
+    a_pad, m_pad = tiny_pipeline.infer_batch(videos, batch_multiple=4)
+    assert len(a_pad) == len(a_ref) == 3
+    for ar, ap, mr, mp in zip(a_ref, a_pad, m_ref, m_pad):
+        np.testing.assert_allclose(ap, ar, atol=1e-6)
+        np.testing.assert_allclose(mp, mr, atol=1e-6)
+
+
+def test_batching_server_exactness_and_fusion(tiny_pipeline):
+    """Concurrent requests share a dispatch and return per-request-exact
+    audio; the stats confirm the fusion actually happened."""
+    rng = np.random.default_rng(5)
+    videos = [rng.random((8, 32, 32)).astype(np.float32) for _ in range(4)]
+    # warm the (batch_multiple, Tp) program so the window isn't consumed
+    # by a multi-second CPU compile before companions can arrive
+    tiny_pipeline.infer_batch(videos, batch_multiple=4)
+
+    server = BatchingInferenceServer(
+        tiny_pipeline, max_batch=4, batch_window_ms=2000.0, batch_multiple=4
+    )
+    try:
+        results = [None] * 4
+
+        def call(i):
+            results[i] = server.synthesize(videos[i], timeout=120)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        a_ref, m_ref = tiny_pipeline.infer_batch(videos, batch_multiple=4)
+        batched_with = set()
+        for i, (audio, mel, n_batched) in enumerate(results):
+            np.testing.assert_allclose(audio, a_ref[i], atol=1e-6)
+            np.testing.assert_allclose(mel, m_ref[i], atol=1e-6)
+            batched_with.add(n_batched)
+        stats = server.stats()
+        assert stats["requests_served"] == 4
+        # the 2 s window must have fused at least some of the 4 requests
+        assert stats["batches_dispatched"] < 4
+        assert max(batched_with) > 1
+
+        with pytest.raises(ValueError):
+            server.synthesize(rng.random((8, 32)).astype(np.float32))
+    finally:
+        server.shutdown()
+
+
+def test_http_server_end_to_end(tiny_pipeline):
+    rng = np.random.default_rng(9)
+    frames = rng.random((8, 32, 32)).astype(np.float32)
+    httpd = serve(tiny_pipeline, sr=11413, port=0, max_batch=2,
+                  batch_window_ms=1.0, batch_multiple=2)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        buf = io.BytesIO()
+        np.save(buf, frames)
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("POST", "/synthesize", body=buf.getvalue())
+        resp = conn.getresponse()
+        body = resp.read()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type") == "audio/wav"
+        assert resp.getheader("X-Frames") == "8"
+        assert int(resp.getheader("X-Audio-Samples")) == 8 * 420
+
+        a_ref, _ = tiny_pipeline.infer_batch([frames], batch_multiple=2)
+        assert body == wav_bytes(a_ref[0], 11413)
+
+        # health endpoint reflects the served request
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["status"] == "ok"
+        assert health["requests_served"] == 1
+
+        # malformed body -> 400, worker survives
+        conn.request("POST", "/synthesize", body=b"not an npy")
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
+
+        # wrong rank -> 400 with the ValueError message
+        bad = io.BytesIO()
+        np.save(bad, frames[0])
+        conn.request("POST", "/synthesize", body=bad.getvalue())
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert b"ValueError" in resp.read()
+
+        # server still serves after the errors
+        conn.request("POST", "/synthesize", body=buf.getvalue())
+        resp = conn.getresponse()
+        assert resp.status == 200
+        resp.read()
+
+        conn.request("GET", "/nope")
+        assert conn.getresponse().status == 404
+        conn.close()
+    finally:
+        httpd.shutdown()
+        httpd.inference.shutdown()
+        httpd.server_close()
