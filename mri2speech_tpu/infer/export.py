@@ -1,0 +1,346 @@
+"""AOT serving artifacts: freeze the fused video->speech program to disk.
+
+A production-deployment subsystem the reference has no analogue of (its
+serving story is "check out the repo, import torch + timm + the model code,
+load state dicts" — `scripts/run_mri_video_inference.py:119-148`). Here the
+entire fused serving computation (on-device normalisation + acoustic
+CNN/BiLSTM + scaler denorm + dB->ln-power bridge + HiFi-GAN generator) is
+exported with `jax.export` as serialized StableHLO, one program per
+(batch, padded-frames) bucket — exactly the program grid a
+`BatchingInferenceServer` deployment dispatches over.
+
+Why this is the TPU-native shape of "model packaging":
+
+* **No model code at load time.** `load_exported_pipeline` needs jax + numpy
+  only — no flax modules, no fuse/fold transforms, no config plumbing. The
+  artifact is the program, not a recipe for rebuilding it.
+* **The program is frozen.** What was parity-tested is byte-for-byte what
+  serves: later refactors of the model code cannot silently change a
+  deployed endpoint (jax.export also refuses artifacts whose calling
+  convention the runtime no longer supports).
+* **Multi-platform.** `platforms=("tpu", "cpu")` lowers once for both, so
+  the same artifact serves on a chip and smoke-tests on a dev CPU.
+* Params stay ARGUMENTS (separate msgpack sidecar), not baked constants —
+  the same no-literals rule the live pipeline follows (tens of MB of HLO
+  literals stall remote compilation), and it keeps the artifact refreshable
+  with a new checkpoint without re-export.
+
+Artifact layout (a directory):
+    manifest.json                    shapes, dtypes, hop_total, jax version
+    params.msgpack                   {"acoustic": variables, "generator": params}
+    programs/fwd_b{B}_t{Tp}.bin      serialized jax.export.Exported per bucket
+
+The exported call signature is `(acoustic_variables, generator_params,
+frames, mask) -> (audio, mel_db, mel_log)` — identical to the live
+pipeline's `_forward`, so `ExportedPipeline` is a drop-in for
+`VideoToSpeechPipeline` everywhere serving code touches it (`__call__`,
+`infer_audio`, `infer_batch`; the HTTP daemon accepts either).
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+MANIFEST_NAME = "manifest.json"
+PARAMS_NAME = "params.msgpack"
+PROGRAMS_DIR = "programs"
+_FORMAT_VERSION = 1
+
+
+def _program_name(batch: int, frames: int) -> str:
+    return f"fwd_b{batch}_t{frames}.bin"
+
+
+def export_pipeline(
+    pipeline,
+    out_dir,
+    *,
+    batch_sizes: Sequence[int] = (1,),
+    frame_buckets: Optional[Sequence[int]] = None,
+    frame_shape: Tuple[int, int] = (256, 256),
+    frames_dtype=None,
+    platforms: Optional[Sequence[str]] = None,
+) -> Path:
+    """Export a `VideoToSpeechPipeline`'s fused program grid to `out_dir`.
+
+    batch_sizes / frame_buckets: the (B, Tp) grid to freeze. Tp values must
+    be multiples of the pipeline's `frame_bucket` (they are the PADDED
+    lengths the serving path actually dispatches); default is one bucket.
+    frames_dtype: dtype of the frames input (uint8 with
+    input_norm="zscore_minmax" for the 4x-smaller upload, else float32).
+    platforms: lowering targets, e.g. ("tpu", "cpu"); default = current
+    backend only.
+    """
+    import jax.numpy as jnp
+    from flax import serialization
+
+    if frame_buckets is None:
+        frame_buckets = (pipeline.frame_bucket,)
+    if frames_dtype is None:
+        frames_dtype = (
+            jnp.uint8 if pipeline.input_norm == "zscore_minmax" else jnp.float32
+        )
+    frames_dtype = jnp.dtype(frames_dtype)
+    for tp in frame_buckets:
+        if tp % pipeline.frame_bucket != 0:
+            raise ValueError(
+                f"frame bucket {tp} is not a multiple of the pipeline's "
+                f"frame_bucket={pipeline.frame_bucket}"
+            )
+
+    out = Path(out_dir)
+    (out / PROGRAMS_DIR).mkdir(parents=True, exist_ok=True)
+
+    avars = jax.device_get(pipeline.acoustic_variables)
+    gparams = jax.device_get(pipeline.generator_params)
+    avars_spec = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype), avars
+    )
+    gparams_spec = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype), gparams
+    )
+
+    h, w = frame_shape
+    programs = []
+    plats = tuple(platforms) if platforms is not None else None
+    for b in sorted(set(int(x) for x in batch_sizes)):
+        for tp in sorted(set(int(x) for x in frame_buckets)):
+            exp = jax.export.export(jax.jit(pipeline._forward), platforms=plats)(
+                avars_spec,
+                gparams_spec,
+                jax.ShapeDtypeStruct((b, tp, 1, h, w), frames_dtype),
+                jax.ShapeDtypeStruct((b, tp), jnp.float32),
+            )
+            name = _program_name(b, tp)
+            (out / PROGRAMS_DIR / name).write_bytes(exp.serialize())
+            programs.append({"batch": b, "frames": tp, "file": name})
+
+    with open(out / PARAMS_NAME, "wb") as f:
+        f.write(
+            serialization.msgpack_serialize(
+                {"acoustic": avars, "generator": gparams}
+            )
+        )
+    manifest = {
+        "format_version": _FORMAT_VERSION,
+        "programs": programs,
+        "hop_total": int(pipeline.hop_total),
+        "frame_bucket": int(pipeline.frame_bucket),
+        "input_norm": pipeline.input_norm,
+        "frame_shape": [int(h), int(w)],
+        "frames_dtype": frames_dtype.name,
+        "platforms": list(plats) if plats is not None else [jax.default_backend()],
+        "jax_version": jax.__version__,
+    }
+    with open(out / MANIFEST_NAME, "w", encoding="utf-8") as f:
+        json.dump(manifest, f, indent=2)
+    return out
+
+
+class ExportedPipeline:
+    """Serve from a frozen artifact directory — no model code involved.
+
+    Drop-in for `VideoToSpeechPipeline` on the serving surfaces
+    (`__call__` / `infer_audio` / `infer_batch`, hence also
+    `BatchingInferenceServer` and the HTTP daemon). Dispatch picks the
+    smallest exported (batch, frames) bucket that fits the request and pads
+    with replicate-frames + zero-mask rows — the same mask-exact contract as
+    the live pipeline (BiLSTM is mask-exact; only the generator's ~10-frame
+    lookahead sees the padding, bounding any effect to the final fraction of
+    a second — see `VideoToSpeechPipeline.infer_batch`).
+    """
+
+    def __init__(self, artifact_dir) -> None:
+        from flax import serialization
+
+        self.dir = Path(artifact_dir)
+        with open(self.dir / MANIFEST_NAME, "r", encoding="utf-8") as f:
+            self.manifest = json.load(f)
+        if self.manifest.get("format_version") != _FORMAT_VERSION:
+            raise ValueError(
+                f"unsupported artifact format_version="
+                f"{self.manifest.get('format_version')!r} (loader supports "
+                f"{_FORMAT_VERSION})"
+            )
+        self.hop_total = int(self.manifest["hop_total"])
+        self.frame_bucket = int(self.manifest["frame_bucket"])
+        self.input_norm = self.manifest["input_norm"]
+        self.frames_dtype = np.dtype(self.manifest["frames_dtype"])
+        with open(self.dir / PARAMS_NAME, "rb") as f:
+            params = serialization.msgpack_restore(f.read())
+        self._avars = jax.device_put(params["acoustic"])
+        self._gparams = jax.device_put(params["generator"])
+        # (batch, frames) -> lazily deserialized jit(exported.call)
+        self._buckets = sorted(
+            (int(p["batch"]), int(p["frames"]), p["file"])
+            for p in self.manifest["programs"]
+        )
+        self._calls = {}
+
+    def _call_for(self, batch: int, frames: int):
+        """Smallest exported bucket with batch' >= batch and frames' >= frames."""
+        for b, tp, fname in self._buckets:  # sorted: smallest fitting wins
+            if b >= batch and tp >= frames:
+                key = (b, tp)
+                if key not in self._calls:
+                    exp = jax.export.deserialize(
+                        (self.dir / PROGRAMS_DIR / fname).read_bytes()
+                    )
+                    self._calls[key] = jax.jit(exp.call)
+                return key, self._calls[key]
+        raise ValueError(
+            f"no exported program fits batch={batch}, frames={frames}; "
+            f"available (batch, frames) buckets: "
+            f"{[(b, t) for b, t, _ in self._buckets]} — re-export with "
+            f"larger batch_sizes/frame_buckets"
+        )
+
+    def _pack(self, videos, batch: int, frames: int):
+        """Replicate-pad videos into a (batch, frames, 1, H, W) block + mask."""
+        hw = tuple(videos[0].shape[1:])
+        if list(hw) != list(self.manifest["frame_shape"]):
+            raise ValueError(
+                f"frame size {hw} does not match the exported "
+                f"{tuple(self.manifest['frame_shape'])}"
+            )
+        fb = np.empty((batch, frames, 1) + hw, dtype=self.frames_dtype)
+        mb = np.zeros((batch, frames), dtype=np.float32)
+        for i, v in enumerate(videos):
+            if v.shape[1:] != hw:
+                raise ValueError(
+                    f"all videos in a batch must share the frame size; got "
+                    f"{v.shape[1:]} vs {hw}"
+                )
+            t = v.shape[0]
+            fb[i, :t, 0] = v
+            fb[i, t:, 0] = v[-1]
+            mb[i, :t] = 1.0
+        fb[len(videos):] = fb[len(videos) - 1]
+        return fb, mb
+
+    def _run(self, videos):
+        Ts = [int(v.shape[0]) for v in videos]
+        (b, tp), call = self._call_for(len(videos), max(Ts))
+        fb, mb = self._pack(videos, b, tp)
+        audio, mel_db, mel_log = call(self._avars, self._gparams, fb, mb)
+        return Ts, audio, mel_db, mel_log
+
+    def __call__(self, frames: np.ndarray):
+        """frames (T, H, W) -> (audio (T*hop,), mel_db (T, n_mels), mel_log)."""
+        Ts, audio, mel_db, mel_log = self._run([frames])
+        t = Ts[0]
+        return (
+            np.asarray(audio)[0, 0, : t * self.hop_total],
+            np.asarray(mel_db)[0, :t],
+            np.asarray(mel_log)[0, :t],
+        )
+
+    def infer_audio(self, frames: np.ndarray) -> np.ndarray:
+        Ts, audio, _, _ = self._run([frames])
+        return np.asarray(audio)[0, 0, : Ts[0] * self.hop_total]
+
+    def infer_batch(self, videos, batch_multiple: int = 1):
+        """N videos -> (N waveforms, N mel_db) in one frozen fused dispatch.
+
+        `batch_multiple` is accepted for `BatchingInferenceServer`
+        compatibility; the effective padding is the exported batch bucket
+        (>= both), so the one-program-per-bucket property holds by
+        construction.
+        """
+        videos = list(videos)
+        if not videos:
+            return [], []
+        Ts, audio, mel_db, _ = self._run(videos)
+        audio = np.asarray(audio)
+        mel_db = np.asarray(mel_db)
+        return (
+            [audio[i, 0, : t * self.hop_total] for i, t in enumerate(Ts)],
+            [mel_db[i, :t] for i, t in enumerate(Ts)],
+        )
+
+
+def load_exported_pipeline(artifact_dir) -> ExportedPipeline:
+    return ExportedPipeline(artifact_dir)
+
+
+def main() -> None:
+    """CLI: freeze serving checkpoints into an AOT artifact (m2s-export-serving)."""
+    import argparse
+
+    from mri2speech_tpu.infer.pipeline import build_pipeline_from_checkpoints
+
+    parser = argparse.ArgumentParser(
+        description="Export the fused serving program grid to a frozen "
+        "jax.export artifact directory (servable without model code)."
+    )
+    parser.add_argument("--mri-checkpoint", required=True)
+    parser.add_argument("--scaler-json", required=True)
+    parser.add_argument("--hifigan-config", required=True)
+    parser.add_argument("--hifigan-checkpoint", required=True)
+    parser.add_argument("--output-dir", required=True)
+    parser.add_argument("--frame-bucket", type=int, default=64)
+    parser.add_argument(
+        "--batch-sizes", default="1,8",
+        help="comma-separated batch buckets to freeze (default 1,8)",
+    )
+    parser.add_argument(
+        "--frame-buckets", default=None,
+        help="comma-separated padded frame counts (multiples of "
+             "--frame-bucket); default = one frame_bucket",
+    )
+    parser.add_argument(
+        "--platforms", default=None,
+        help="comma-separated lowering targets, e.g. tpu,cpu "
+             "(default: current backend)",
+    )
+    parser.add_argument(
+        "--uint8", action="store_true",
+        help="freeze the raw-uint8 + on-device-normalisation input contract",
+    )
+    parser.add_argument(
+        "--verify", action="store_true",
+        help="reload the artifact and check it against the live pipeline "
+             "on a random video (reports max |diff|)",
+    )
+    args = parser.parse_args()
+
+    pipeline = build_pipeline_from_checkpoints(
+        args.mri_checkpoint, args.scaler_json, args.hifigan_config,
+        args.hifigan_checkpoint, frame_bucket=args.frame_bucket,
+        input_norm="zscore_minmax" if args.uint8 else "none",
+        # the frozen program must not bake in a backend-specific kernel
+        # choice when lowering for multiple platforms; scan lowers everywhere
+    )
+    batch_sizes = [int(x) for x in args.batch_sizes.split(",")]
+    frame_buckets = (
+        [int(x) for x in args.frame_buckets.split(",")]
+        if args.frame_buckets else None
+    )
+    platforms = args.platforms.split(",") if args.platforms else None
+    out = export_pipeline(
+        pipeline, args.output_dir, batch_sizes=batch_sizes,
+        frame_buckets=frame_buckets, platforms=platforms,
+    )
+    n = len(json.load(open(out / MANIFEST_NAME))["programs"])
+    print(f"[exported] {n} program(s) -> {out}")
+
+    if args.verify:
+        loaded = load_exported_pipeline(out)
+        rng = np.random.default_rng(0)
+        t = loaded.frame_bucket
+        video = rng.random((t,) + tuple(loaded.manifest["frame_shape"]))
+        video = (
+            (video * 255).astype(np.uint8) if args.uint8
+            else video.astype(np.float32)
+        )
+        a_live = pipeline.infer_audio(video)
+        a_froz = loaded.infer_audio(video)
+        print(f"[verify] max |audio diff| = {np.abs(a_live - a_froz).max():.3e}")
+
+
+if __name__ == "__main__":
+    main()

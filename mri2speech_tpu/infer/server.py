@@ -199,15 +199,19 @@ def serve(pipeline, sr: int, host: str = "127.0.0.1", port: int = 8571,
 
 
 def main() -> None:
-    from mri2speech_tpu.infer.pipeline import build_pipeline_from_checkpoints
-
     parser = argparse.ArgumentParser(
         description="rtMRI->speech HTTP serving daemon with dynamic batching"
     )
-    parser.add_argument("--mri-checkpoint", required=True)
-    parser.add_argument("--scaler-json", required=True)
-    parser.add_argument("--hifigan-config", required=True)
-    parser.add_argument("--hifigan-checkpoint", required=True)
+    parser.add_argument(
+        "--exported", default=None,
+        help="serve from a frozen AOT artifact directory (m2s-export-serving) "
+             "instead of checkpoints — loads NO model code; checkpoint/mesh/"
+             "uint8 flags are then ignored (the artifact froze those choices)",
+    )
+    parser.add_argument("--mri-checkpoint")
+    parser.add_argument("--scaler-json")
+    parser.add_argument("--hifigan-config")
+    parser.add_argument("--hifigan-checkpoint")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8571)
     parser.add_argument("--frame-bucket", type=int, default=64)
@@ -227,20 +231,41 @@ def main() -> None:
         help="Accept raw uint8 frames and normalise on device "
              "(reference inference normalisation, 4x less request traffic).",
     )
+    parser.add_argument(
+        "--sampling-rate", type=int, default=11413,
+        help="WAV sampling rate when serving --exported (checkpoint mode "
+             "reads it from the HiFi-GAN config)",
+    )
     args = parser.parse_args()
 
-    mesh = None
-    if args.num_devices > 1:
-        from mri2speech_tpu.parallel.mesh import make_mesh
+    if args.exported:
+        from mri2speech_tpu.infer.export import load_exported_pipeline
 
-        mesh = make_mesh(n_data=args.num_devices)
-    pipeline = build_pipeline_from_checkpoints(
-        args.mri_checkpoint, args.scaler_json, args.hifigan_config,
-        args.hifigan_checkpoint, frame_bucket=args.frame_bucket, mesh=mesh,
-        input_norm="zscore_minmax" if args.uint8 else "none",
-    )
-    with open(args.hifigan_config, "r", encoding="utf-8") as f:
-        sr = json.load(f)["sampling_rate"]
+        pipeline = load_exported_pipeline(args.exported)
+        sr = args.sampling_rate
+    else:
+        required = ("mri_checkpoint", "scaler_json", "hifigan_config",
+                    "hifigan_checkpoint")
+        missing = [k for k in required if getattr(args, k) is None]
+        if missing:
+            parser.error(
+                "without --exported these are required: "
+                + ", ".join("--" + k.replace("_", "-") for k in missing)
+            )
+        from mri2speech_tpu.infer.pipeline import build_pipeline_from_checkpoints
+
+        mesh = None
+        if args.num_devices > 1:
+            from mri2speech_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(n_data=args.num_devices)
+        pipeline = build_pipeline_from_checkpoints(
+            args.mri_checkpoint, args.scaler_json, args.hifigan_config,
+            args.hifigan_checkpoint, frame_bucket=args.frame_bucket, mesh=mesh,
+            input_norm="zscore_minmax" if args.uint8 else "none",
+        )
+        with open(args.hifigan_config, "r", encoding="utf-8") as f:
+            sr = json.load(f)["sampling_rate"]
     httpd = serve(
         pipeline, sr, host=args.host, port=args.port,
         max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
