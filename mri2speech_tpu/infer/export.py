@@ -29,6 +29,19 @@ Artifact layout (a directory):
     manifest.json                    shapes, dtypes, hop_total, jax version
     params.msgpack                   {"acoustic": variables, "generator": params}
     programs/fwd_b{B}_t{Tp}.bin      serialized jax.export.Exported per bucket
+    programs/fwd_symbolic.bin        shape-polymorphic program (see below)
+
+Beyond the concrete bucket grid, the artifact carries ONE shape-polymorphic
+program exported with symbolic (batch, time) dimensions
+(`jax.export.symbolic_shape("n, {frame_bucket}*b")`): the whole fused
+computation — the lax.scan BiLSTM, the x420 conv-transpose generator, the
+masked reductions — traces under symbolic dimension arithmetic and is
+bit-identical to the concrete programs (probe: tools/probe_symbolic_export.py).
+The loader uses concrete buckets when one fits and falls back to the
+symbolic program for ANY other (batch, frames), so an artifact can never
+strand a request shape; each new concrete shape still triggers one XLA
+compile at serve time (shape refinement), which is what the bucket
+discipline + the persistent compile cache bound.
 
 The exported call signature is `(acoustic_variables, generator_params,
 frames, mask) -> (audio, mel_db, mel_log)` — identical to the live
@@ -48,6 +61,7 @@ import numpy as np
 MANIFEST_NAME = "manifest.json"
 PARAMS_NAME = "params.msgpack"
 PROGRAMS_DIR = "programs"
+SYMBOLIC_NAME = "fwd_symbolic.bin"
 _FORMAT_VERSION = 1
 
 
@@ -64,6 +78,7 @@ def export_pipeline(
     frame_shape: Tuple[int, int] = (256, 256),
     frames_dtype=None,
     platforms: Optional[Sequence[str]] = None,
+    symbolic: bool = True,
 ) -> Path:
     """Export a `VideoToSpeechPipeline`'s fused program grid to `out_dir`.
 
@@ -74,6 +89,9 @@ def export_pipeline(
     input_norm="zscore_minmax" for the 4x-smaller upload, else float32).
     platforms: lowering targets, e.g. ("tpu", "cpu"); default = current
     backend only.
+    symbolic: additionally export one shape-polymorphic program with
+    symbolic (batch, time) dims — the loader's fallback for any request
+    shape outside the concrete grid.
     """
     import jax.numpy as jnp
     from flax import serialization
@@ -119,6 +137,21 @@ def export_pipeline(
             (out / PROGRAMS_DIR / name).write_bytes(exp.serialize())
             programs.append({"batch": b, "frames": tp, "file": name})
 
+    symbolic_file = None
+    if symbolic:
+        scope = jax.export.SymbolicScope()
+        n, t = jax.export.symbolic_shape(
+            f"n, {pipeline.frame_bucket}*b", scope=scope
+        )
+        exp = jax.export.export(jax.jit(pipeline._forward), platforms=plats)(
+            avars_spec,
+            gparams_spec,
+            jax.ShapeDtypeStruct((n, t, 1, h, w), frames_dtype),
+            jax.ShapeDtypeStruct((n, t), jnp.float32),
+        )
+        (out / PROGRAMS_DIR / SYMBOLIC_NAME).write_bytes(exp.serialize())
+        symbolic_file = SYMBOLIC_NAME
+
     with open(out / PARAMS_NAME, "wb") as f:
         f.write(
             serialization.msgpack_serialize(
@@ -128,6 +161,7 @@ def export_pipeline(
     manifest = {
         "format_version": _FORMAT_VERSION,
         "programs": programs,
+        "symbolic_program": symbolic_file,
         "hop_total": int(pipeline.hop_total),
         "frame_bucket": int(pipeline.frame_bucket),
         "input_norm": pipeline.input_norm,
@@ -147,9 +181,10 @@ class ExportedPipeline:
     Drop-in for `VideoToSpeechPipeline` on the serving surfaces
     (`__call__` / `infer_audio` / `infer_batch`, hence also
     `BatchingInferenceServer` and the HTTP daemon). Dispatch picks the
-    smallest exported (batch, frames) bucket that fits the request and pads
-    with replicate-frames + zero-mask rows — the same mask-exact contract as
-    the live pipeline (BiLSTM is mask-exact; only the generator's ~10-frame
+    smallest exported (batch, frames) bucket that fits the request — falling
+    back to the shape-polymorphic program for shapes outside the grid — and
+    pads with replicate-frames + zero-mask rows, the same mask-exact contract
+    as the live pipeline (BiLSTM is mask-exact; only the generator's ~10-frame
     lookahead sees the padding, bounding any effect to the final fraction of
     a second — see `VideoToSpeechPipeline.infer_batch`).
     """
@@ -179,24 +214,33 @@ class ExportedPipeline:
             (int(p["batch"]), int(p["frames"]), p["file"])
             for p in self.manifest["programs"]
         )
+        self._symbolic_file = self.manifest.get("symbolic_program")
         self._calls = {}
 
+    def _load_call(self, key, fname):
+        if key not in self._calls:
+            exp = jax.export.deserialize(
+                (self.dir / PROGRAMS_DIR / fname).read_bytes()
+            )
+            self._calls[key] = jax.jit(exp.call)
+        return self._calls[key]
+
     def _call_for(self, batch: int, frames: int):
-        """Smallest exported bucket with batch' >= batch and frames' >= frames."""
+        """Smallest exported bucket fitting the request, else the symbolic
+        program padded to the next frame-bucket multiple."""
         for b, tp, fname in self._buckets:  # sorted: smallest fitting wins
             if b >= batch and tp >= frames:
-                key = (b, tp)
-                if key not in self._calls:
-                    exp = jax.export.deserialize(
-                        (self.dir / PROGRAMS_DIR / fname).read_bytes()
-                    )
-                    self._calls[key] = jax.jit(exp.call)
-                return key, self._calls[key]
+                return (b, tp), self._load_call((b, tp), fname)
+        if self._symbolic_file is not None:
+            fb = self.frame_bucket
+            tp = ((frames + fb - 1) // fb) * fb
+            return (batch, tp), self._load_call("symbolic", self._symbolic_file)
         raise ValueError(
             f"no exported program fits batch={batch}, frames={frames}; "
             f"available (batch, frames) buckets: "
-            f"{[(b, t) for b, t, _ in self._buckets]} — re-export with "
-            f"larger batch_sizes/frame_buckets"
+            f"{[(b, t) for b, t, _ in self._buckets]} and no symbolic "
+            f"program in the artifact — re-export with larger "
+            f"batch_sizes/frame_buckets or symbolic=True"
         )
 
     def _pack(self, videos, batch: int, frames: int):
@@ -222,9 +266,11 @@ class ExportedPipeline:
         fb[len(videos):] = fb[len(videos) - 1]
         return fb, mb
 
-    def _run(self, videos):
+    def _run(self, videos, batch_multiple: int = 1):
         Ts = [int(v.shape[0]) for v in videos]
-        (b, tp), call = self._call_for(len(videos), max(Ts))
+        bm = max(1, int(batch_multiple))
+        b_req = ((len(videos) + bm - 1) // bm) * bm
+        (b, tp), call = self._call_for(b_req, max(Ts))
         fb, mb = self._pack(videos, b, tp)
         audio, mel_db, mel_log = call(self._avars, self._gparams, fb, mb)
         return Ts, audio, mel_db, mel_log
@@ -246,15 +292,15 @@ class ExportedPipeline:
     def infer_batch(self, videos, batch_multiple: int = 1):
         """N videos -> (N waveforms, N mel_db) in one frozen fused dispatch.
 
-        `batch_multiple` is accepted for `BatchingInferenceServer`
-        compatibility; the effective padding is the exported batch bucket
-        (>= both), so the one-program-per-bucket property holds by
-        construction.
+        On a concrete bucket the effective padding is the exported batch
+        bucket (>= both the request and `batch_multiple`); on the symbolic
+        fallback the batch pads to `batch_multiple`, so the
+        one-compiled-program-per-bucket property holds either way.
         """
         videos = list(videos)
         if not videos:
             return [], []
-        Ts, audio, mel_db, _ = self._run(videos)
+        Ts, audio, mel_db, _ = self._run(videos, batch_multiple=batch_multiple)
         audio = np.asarray(audio)
         mel_db = np.asarray(mel_db)
         return (
@@ -302,6 +348,11 @@ def main() -> None:
         help="freeze the raw-uint8 + on-device-normalisation input contract",
     )
     parser.add_argument(
+        "--no-symbolic", action="store_true",
+        help="skip the shape-polymorphic fallback program (requests outside "
+             "the concrete bucket grid will then be rejected)",
+    )
+    parser.add_argument(
         "--verify", action="store_true",
         help="reload the artifact and check it against the live pipeline "
              "on a random video (reports max |diff|)",
@@ -324,6 +375,7 @@ def main() -> None:
     out = export_pipeline(
         pipeline, args.output_dir, batch_sizes=batch_sizes,
         frame_buckets=frame_buckets, platforms=platforms,
+        symbolic=not args.no_symbolic,
     )
     n = len(json.load(open(out / MANIFEST_NAME))["programs"])
     print(f"[exported] {n} program(s) -> {out}")

@@ -75,6 +75,8 @@ def test_manifest_and_program_grid(artifact):
     assert grid == {(1, 8), (1, 16), (4, 8), (4, 16)}
     for p in manifest["programs"]:
         assert (out / "programs" / p["file"]).stat().st_size > 0
+    assert manifest["symbolic_program"] == "fwd_symbolic.bin"
+    assert (out / "programs" / "fwd_symbolic.bin").stat().st_size > 0
     assert manifest["hop_total"] == 420
     assert manifest["frames_dtype"] == "float32"
 
@@ -115,13 +117,35 @@ def test_bucket_fitting_and_mask_exact_mels(artifact):
     assert a1.shape == (5 * 420,)
 
 
-def test_no_fitting_bucket_raises(artifact):
-    _, out = artifact
+def test_symbolic_fallback_covers_any_shape(artifact):
+    """Requests outside the concrete grid (T=17 > max Tp=16; batch 5 >
+    max 4) run through the ONE shape-polymorphic program, exactly."""
+    pipe, out = artifact
     loaded = load_exported_pipeline(out)
+    rng = np.random.default_rng(23)
+    videos = [
+        rng.random((t, 32, 32)).astype(np.float32) for t in (17, 3, 9, 8, 12)
+    ]
+    a_ref, m_ref = pipe.infer_batch(videos)  # live: pads to Tp=24, B=5
+    a_froz, m_froz = loaded.infer_batch(videos)
+    for ar, af, mr, mf in zip(a_ref, a_froz, m_ref, m_froz):
+        np.testing.assert_array_equal(af, ar)
+        np.testing.assert_array_equal(mf, mr)
+    assert ("symbolic" in loaded._calls) and len(loaded._calls) == 1
+
+
+def test_no_fitting_bucket_raises(tmp_path):
+    """Without the symbolic program, shapes outside the grid fail loudly."""
+    pipe = _tiny_pipeline()
+    out = tmp_path / "artifact_grid_only"
+    export_pipeline(pipe, out, batch_sizes=(1,), frame_buckets=(8,),
+                    frame_shape=(32, 32), symbolic=False)
+    loaded = load_exported_pipeline(out)
+    assert json.loads((out / "manifest.json").read_text())["symbolic_program"] is None
     rng = np.random.default_rng(3)
     with pytest.raises(ValueError, match="no exported program fits"):
         loaded.infer_batch(
-            [rng.random((17, 32, 32)).astype(np.float32)]  # > max Tp=16
+            [rng.random((17, 32, 32)).astype(np.float32)]  # > max Tp=8
         )
     with pytest.raises(ValueError, match="no exported program fits"):
         loaded.infer_batch(
