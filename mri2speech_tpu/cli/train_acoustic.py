@@ -79,6 +79,12 @@ def main() -> None:
              "forward; see models/effnetv2.py::_PaddedInvertedResidual.",
     )
     ap.add_argument(
+        "--no_preempt_guard", action="store_true",
+        help="Disable SIGTERM/SIGINT-triggered emergency checkpointing "
+             "(on by default: a preemption notice saves a full-resume "
+             "snapshot to <out_ckpt>.preempt, auto-resumed next run).",
+    )
+    ap.add_argument(
         "--num_devices", type=int, default=1,
         help="Data-parallel device count; 0 = all available, 1 = single "
              "device (the reference's acoustic trainer is single-device; DP "
@@ -117,6 +123,9 @@ def main() -> None:
     if mesh is not None:
         print(f"[MESH] data-parallel over {mesh.shape['data']} devices")
 
+    from mri2speech_tpu.train.preempt import PreemptionGuard, maybe_resume_path
+
+    guard = None if args.no_preempt_guard else PreemptionGuard().install()
     trainer = AcousticTrainer(
         model,
         AcousticTrainerConfig(
@@ -129,23 +138,40 @@ def main() -> None:
         ),
         log_dir=os.path.abspath(args.log_dir) if args.log_dir else None,
         mesh=mesh,
+        preempt=guard,
     )
 
     sample = next(iter(val_loader))
     state = trainer.init_state(sample)
 
-    if args.resume_ckpt:
-        resume_path = os.path.abspath(args.resume_ckpt)
-        if not os.path.isfile(resume_path):
+    emergency_path = os.path.abspath(args.out_ckpt) + ".preempt"
+    resume_path = maybe_resume_path(
+        os.path.abspath(args.resume_ckpt) if args.resume_ckpt else None,
+        emergency_path,
+    )
+    if resume_path:
+        if not os.path.exists(resume_path):
             raise FileNotFoundError(f"Resume checkpoint {resume_path} not found.")
+        if resume_path == emergency_path:
+            print(f"[PREEMPT] Auto-resuming from emergency snapshot {resume_path}")
         state, _ = trainer.resume_from_checkpoint(resume_path, state)
-        if args.out_ckpt == "best_mri_acoustic_model.ckpt":
+        if args.out_ckpt == "best_mri_acoustic_model.ckpt" and resume_path != emergency_path:
             args.out_ckpt = resume_path
 
-    trainer.fit(state, train_loader, val_loader, epochs=args.epochs, save_path=args.out_ckpt)
+    try:
+        trainer.fit(
+            state, train_loader, val_loader, epochs=args.epochs,
+            save_path=args.out_ckpt, emergency_path=emergency_path,
+        )
+    finally:
+        if guard is not None:
+            guard.uninstall()
     if trainer.writer:
         trainer.writer.close()
-    print("[DONE] Done. Saved:", args.out_ckpt)
+    if guard is not None and guard.triggered:
+        print("[DONE] Interrupted by preemption; resume to continue.")
+    else:
+        print("[DONE] Done. Saved:", args.out_ckpt)
 
 
 if __name__ == "__main__":

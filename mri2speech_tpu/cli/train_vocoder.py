@@ -68,7 +68,29 @@ def _safe_add_audio(sw, tag, audio, step, sr) -> None:
             _audio_log_warned = True
 
 
-def run_training(a: argparse.Namespace, h: AttrDict) -> None:
+def run_training(a: argparse.Namespace, h: AttrDict, preempt_guard=None) -> None:
+    from mri2speech_tpu.train.preempt import PreemptionGuard
+
+    # SIGTERM/SIGINT -> save g_/do_ at the current step and exit cleanly;
+    # the scan-resume picks it up on the next run (no new restore path).
+    # The reference loses up to checkpoint_interval=5000 steps on a
+    # preemption (`train.py:199-211`). An injected guard (tests/
+    # preemption-notice watchers) is used as-is and not uninstalled here.
+    installed = None
+    if preempt_guard is not None:
+        guard = preempt_guard
+    elif getattr(a, "no_preempt_guard", False):
+        guard = None
+    else:
+        guard = installed = PreemptionGuard().install()
+    try:
+        _run_training(a, h, guard)
+    finally:
+        if installed is not None:
+            installed.uninstall()
+
+
+def _run_training(a: argparse.Namespace, h: AttrDict, guard) -> None:
     from tensorboardX import SummaryWriter
 
     mesh = resolve_mesh(getattr(a, "num_devices", 1))
@@ -183,6 +205,14 @@ def run_training(a: argparse.Namespace, h: AttrDict) -> None:
                 if count:
                     last_val_err = val_err_tot / count
                     sw.add_scalar("validation/mel_spec_error", last_val_err, steps)
+
+            if guard is not None and guard.should_stop():
+                trainer.save(a.checkpoint_path, state, steps, epoch)
+                print(
+                    f"[PREEMPT] Signal received: checkpoint saved at step "
+                    f"{steps}; resume will continue from step {steps + 1}."
+                )
+                return
             steps += 1
 
         trainer.sched_g.step(last_val_err)
@@ -206,6 +236,12 @@ def main() -> None:
     parser.add_argument("--summary_interval", default=100, type=int)
     parser.add_argument("--validation_interval", default=1000, type=int)
     parser.add_argument("--fine_tuning", action="store_true")
+    parser.add_argument(
+        "--no_preempt_guard", action="store_true",
+        help="Disable SIGTERM/SIGINT-triggered checkpointing (on by "
+             "default: a preemption notice saves g_/do_ at the current "
+             "step; the scan-resume continues from it next run).",
+    )
     parser.add_argument("--extra_mels_dir", default=None)
     parser.add_argument("--extra_mels_weight", default=0.0, type=float)
     parser.add_argument(

@@ -93,10 +93,15 @@ class AcousticTrainer:
         config: AcousticTrainerConfig = AcousticTrainerConfig(),
         log_dir: Optional[str] = None,
         mesh=None,
+        preempt=None,
     ) -> None:
+        """preempt: an optional `train.preempt.PreemptionGuard`; when its
+        flag raises (SIGTERM/SIGINT), the epoch loop stops at the next step
+        boundary and `fit` writes a full-resume emergency checkpoint."""
         self.model = model
         self.cfg = config
         self.mesh = mesh
+        self.preempt = preempt
         self.tx = optax.chain(
             optax.clip_by_global_norm(config.grad_clip)
             if config.grad_clip and config.grad_clip > 0
@@ -288,6 +293,8 @@ class AcousticTrainer:
             steps += 1
             for k, v in metrics.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
+            if self.preempt is not None and self.preempt.should_stop():
+                break  # safe point: `state` is a consistent post-step snapshot
         n = max(1, steps)
         return state, {k: v / n for k, v in totals.items()}
 
@@ -342,6 +349,21 @@ class AcousticTrainer:
             "train_loss": float(train_loss),
         }
         ckpt_io.save_checkpoint(path, obj)
+
+    def save_emergency(self, path: str, state: TrainState, epoch: int) -> None:
+        """Full-resume snapshot on preemption (same format as `save_best`,
+        restorable by `resume_from_checkpoint` unchanged).
+
+        `epoch - 1` is recorded so resume repeats the interrupted epoch; the
+        snapshot carries the CURRENT `best_val` (not this epoch's, which
+        never validated) so the resumed run keeps the best-checkpoint bar
+        where it was. The reference's best-only scheme has no equivalent —
+        an interrupted run there loses everything since the last val
+        improvement (`train_mri_acoustic_model.py:508-521`)."""
+        self.save_best(
+            path, state, epoch - 1, float("nan"),
+            {"loss": self.best_val, "mse": float("nan")},
+        )
 
     def resume_from_checkpoint(self, path: str, state: TrainState) -> Tuple[TrainState, int]:
         """Full resume: params/opt/sched/epoch/global step (`:393-462`).
@@ -422,16 +444,29 @@ class AcousticTrainer:
         val_loader,
         epochs: int,
         save_path: str = "best_mri_acoustic_model.ckpt",
+        emergency_path: Optional[str] = None,
     ) -> TrainState:
         print(
             f"[TRAIN] Start training: start_epoch={self.start_epoch}, "
             f"target_epochs={epochs}, micro_batch={self.cfg.micro_batch_size}"
         )
+        if emergency_path is None:
+            emergency_path = save_path + ".preempt"
         for ep in range(self.start_epoch, epochs + 1):
             if hasattr(train_loader, "set_epoch"):
                 train_loader.set_epoch(ep)
             t0 = time.time()
             state, tr = self.train_epoch(state, train_loader, epoch_idx=ep)
+            if self.preempt is not None and self.preempt.should_stop():
+                # grace windows are short: skip validation, snapshot, leave
+                self.save_emergency(emergency_path, state, ep)
+                print(
+                    f"[PREEMPT] Signal received: full-resume snapshot saved "
+                    f"to {emergency_path} at global step "
+                    f"{int(jax.device_get(state.global_step))} (epoch {ep} "
+                    f"will repeat on resume)."
+                )
+                return state
             va = self.validate(state, val_loader)
             dt = time.time() - t0
 
@@ -479,4 +514,13 @@ class AcousticTrainer:
             if self.sched.lr <= self.cfg.sched_min_lr + 1e-12:
                 print("[STOP] LR reached min.")
                 break
+        # completed without preemption: a leftover emergency snapshot (this
+        # run resumed from one, or an older run left one) is now stale
+        if self.preempt is not None and host_is_primary():
+            import shutil
+
+            if os.path.isdir(emergency_path):
+                shutil.rmtree(emergency_path, ignore_errors=True)
+            elif os.path.exists(emergency_path):
+                os.remove(emergency_path)
         return state
