@@ -170,6 +170,24 @@ def test_uint8_input_contract(tmp_path):
     )
 
 
+def test_multiplatform_export_runs_on_cpu(tmp_path):
+    """platforms=("cpu", "tpu") lowers BOTH targets on this CPU-only host
+    (build-once-deploy-anywhere) and still executes here bit-exactly."""
+    pipe = _tiny_pipeline()
+    out = tmp_path / "artifact_mp"
+    export_pipeline(pipe, out, batch_sizes=(1,), frame_buckets=(8,),
+                    frame_shape=(32, 32), platforms=("cpu", "tpu"),
+                    symbolic=False)
+    manifest = json.loads((out / "manifest.json").read_text())
+    assert manifest["platforms"] == ["cpu", "tpu"]
+    loaded = load_exported_pipeline(out)
+    rng = np.random.default_rng(29)
+    video = rng.random((8, 32, 32)).astype(np.float32)
+    np.testing.assert_array_equal(
+        loaded.infer_audio(video), pipe.infer_audio(video)
+    )
+
+
 def test_serving_daemon_over_frozen_artifact(artifact):
     """BatchingInferenceServer accepts an ExportedPipeline as its backend."""
     from mri2speech_tpu.infer.server import BatchingInferenceServer
