@@ -135,6 +135,20 @@ class OnlineVideoToSpeech:
             **kwargs,
         )
 
+    def fork(self) -> "OnlineVideoToSpeech":
+        """A fresh stream over the SAME models/params/compiled programs.
+
+        All mutable stream state lives in instance fields that `reset()`
+        initialises and the jitted programs receive as arguments, so forks
+        are independent streams while the four compiled programs (and their
+        jit caches — bound to this instance) are shared: a serving daemon
+        can run many concurrent sessions with zero per-session recompiles.
+        """
+        new = object.__new__(OnlineVideoToSpeech)
+        new.__dict__.update(self.__dict__)
+        new.reset()
+        return new
+
     # -- properties --------------------------------------------------------
     @property
     def latency_frames(self) -> int:

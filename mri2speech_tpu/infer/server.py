@@ -23,6 +23,20 @@ POST /synthesize
     / X-Batched-With (how many requests shared the dispatch).
 GET /healthz
     response: 200, application/json with cumulative stats.
+
+With `--online` (or `serve(..., online=engine)`) the bounded-latency
+streaming mode (`infer/online.py`) is additionally served as HTTP sessions —
+push frames as they are captured, receive PCM as it becomes available:
+
+POST /stream/start                    -> {session, chunk, latency_frames,
+                                          sampling_rate}
+POST /stream/<id>/push  (npy (n,H,W)) -> raw <f4 PCM newly emitted
+POST /stream/<id>/finish              -> remaining PCM; session ends
+DELETE /stream/<id>                   -> abort
+
+Sessions are `OnlineVideoToSpeech.fork()`s: independent stream state over
+SHARED compiled programs (zero per-session compiles), serialized onto the
+device by one dispatch lock.
 """
 from __future__ import annotations
 
@@ -133,6 +147,94 @@ class BatchingInferenceServer:
             }
 
 
+class StreamingSessionManager:
+    """Concurrent online-streaming sessions over one engine's compiled programs.
+
+    Each session is an `OnlineVideoToSpeech.fork()` — independent stream
+    state, shared jit caches, so N concurrent callers cost zero extra
+    compiles. Device work is serialized by one dispatch lock (same
+    single-dispatch-thread principle as `BatchingInferenceServer`); the
+    registry lock only guards the session table. Sessions idle past
+    `idle_timeout_s` are reaped when new ones start.
+    """
+
+    def __init__(
+        self,
+        engine,
+        *,
+        max_sessions: int = 8,
+        idle_timeout_s: float = 600.0,
+    ) -> None:
+        self.engine = engine
+        self.max_sessions = max(1, int(max_sessions))
+        self.idle_timeout_s = float(idle_timeout_s)
+        self._sessions: dict = {}
+        self._registry = threading.Lock()
+        self._dispatch = threading.Lock()
+        self._next_id = 0
+
+    def _reap_locked(self) -> None:
+        now = time.monotonic()
+        dead = [
+            sid for sid, s in self._sessions.items()
+            if now - s["last"] > self.idle_timeout_s
+        ]
+        for sid in dead:
+            del self._sessions[sid]
+
+    def start(self) -> dict:
+        with self._registry:
+            self._reap_locked()
+            if len(self._sessions) >= self.max_sessions:
+                raise RuntimeError(
+                    f"session limit reached ({self.max_sessions}); finish or "
+                    f"abort an active stream first"
+                )
+            self._next_id += 1
+            sid = f"s{self._next_id:08d}"
+            self._sessions[sid] = {
+                "engine": self.engine.fork(),
+                "lock": threading.Lock(),
+                "last": time.monotonic(),
+            }
+        e = self.engine
+        return {
+            "session": sid,
+            "chunk": e.W,
+            "latency_frames": e.latency_frames,
+        }
+
+    def _get(self, sid: str):
+        with self._registry:
+            s = self._sessions.get(sid)
+            if s is None:
+                raise KeyError(sid)
+            s["last"] = time.monotonic()
+            return s
+
+    def push(self, sid: str, frames: np.ndarray):
+        s = self._get(sid)
+        with s["lock"], self._dispatch:
+            return s["engine"].push(frames)
+
+    def finish(self, sid: str):
+        s = self._get(sid)
+        with s["lock"], self._dispatch:
+            out = s["engine"].flush()
+        with self._registry:
+            self._sessions.pop(sid, None)
+        return out
+
+    def abort(self, sid: str) -> None:
+        with self._registry:
+            if self._sessions.pop(sid, None) is None:
+                raise KeyError(sid)
+
+    def active(self) -> int:
+        with self._registry:
+            return len(self._sessions)
+
+
 def wav_bytes(audio: np.ndarray, sr: int) -> bytes:
     """float32 [-1, 1] -> 16-bit PCM WAV bytes (in memory)."""
     from scipy.io.wavfile import write
@@ -143,7 +245,20 @@ def wav_bytes(audio: np.ndarray, sr: int) -> bytes:
     return buf.getvalue()
 
 
-def make_handler(server: BatchingInferenceServer, sr: int):
+def make_handler(server: BatchingInferenceServer, sr: int, streams=None):
+    """HTTP routes. `streams` (a `StreamingSessionManager`) adds the online
+    session protocol:
+
+    POST /stream/start                 -> JSON {session, chunk,
+                                          latency_frames, sampling_rate}
+    POST /stream/<id>/push   (npy (n,H,W) body)
+                                       -> raw float32 little-endian PCM newly
+                                          emitted (may be empty while the
+                                          lookahead fills); headers
+                                          X-Audio-Samples / X-Mel-Frames
+    POST /stream/<id>/finish           -> drain: remaining PCM; session ends
+    DELETE /stream/<id>                -> abort
+    """
     class Handler(BaseHTTPRequestHandler):
         # silence per-request stderr logging (single-core host)
         def log_message(self, fmt, *args):  # noqa: D102
@@ -160,12 +275,74 @@ def make_handler(server: BatchingInferenceServer, sr: int):
 
         def do_GET(self):  # noqa: N802
             if self.path in ("/healthz", "/health"):
-                body = json.dumps(server.stats()).encode()
-                self._reply(200, body, "application/json")
+                stats = server.stats()
+                if streams is not None:
+                    stats["active_streams"] = streams.active()
+                self._reply(200, json.dumps(stats).encode(), "application/json")
             else:
                 self._reply(404, b"not found", "text/plain")
 
+        def _read_body(self) -> bytes:
+            length = int(self.headers.get("Content-Length", "0"))
+            return self.rfile.read(length)
+
+        def _stream_post(self):
+            if streams is None:
+                self._reply(404, b"streaming not enabled", "text/plain")
+                return
+            parts = self.path.strip("/").split("/")
+            try:
+                if parts == ["stream", "start"]:
+                    self._read_body()
+                    info = dict(streams.start(), sampling_rate=sr)
+                    self._reply(200, json.dumps(info).encode(),
+                                "application/json")
+                    return
+                if len(parts) == 3 and parts[0] == "stream":
+                    sid, op = parts[1], parts[2]
+                    if op == "push":
+                        frames = np.load(io.BytesIO(self._read_body()),
+                                         allow_pickle=False)
+                        audio, mel = streams.push(sid, frames)
+                    elif op == "finish":
+                        self._read_body()
+                        audio, mel = streams.finish(sid)
+                    else:
+                        self._reply(404, b"not found", "text/plain")
+                        return
+                    body = np.ascontiguousarray(
+                        audio.astype("<f4", copy=False)
+                    ).tobytes()
+                    self._reply(200, body, "application/octet-stream", headers=(
+                        ("X-Audio-Samples", str(audio.shape[0])),
+                        ("X-Mel-Frames", str(mel.shape[0])),
+                    ))
+                    return
+                self._reply(404, b"not found", "text/plain")
+            except KeyError:
+                self._reply(404, b"unknown session", "text/plain")
+            except RuntimeError as exc:
+                code = 429 if "session limit" in str(exc) else 400
+                self._reply(code, str(exc).encode(), "text/plain")
+            except Exception as exc:
+                self._reply(400, f"{type(exc).__name__}: {exc}".encode(),
+                            "text/plain")
+
+        def do_DELETE(self):  # noqa: N802
+            parts = self.path.strip("/").split("/")
+            if streams is not None and len(parts) == 2 and parts[0] == "stream":
+                try:
+                    streams.abort(parts[1])
+                    self._reply(200, b"aborted", "text/plain")
+                except KeyError:
+                    self._reply(404, b"unknown session", "text/plain")
+                return
+            self._reply(404, b"not found", "text/plain")
+
         def do_POST(self):  # noqa: N802
+            if self.path.startswith("/stream/"):
+                self._stream_post()
+                return
             if self.path != "/synthesize":
                 self._reply(404, b"not found", "text/plain")
                 return
@@ -189,12 +366,24 @@ def make_handler(server: BatchingInferenceServer, sr: int):
 
 
 def serve(pipeline, sr: int, host: str = "127.0.0.1", port: int = 8571,
+          online=None, max_sessions: int = 8, idle_timeout_s: float = 600.0,
           **batch_kw) -> ThreadingHTTPServer:
     """Start the HTTP server (returns it; call .serve_forever() or use the
-    CLI below). The batching server is attached as `.inference`."""
+    CLI below). The batching server is attached as `.inference`; passing an
+    `OnlineVideoToSpeech` as `online` enables the /stream session protocol
+    (attached as `.streams`)."""
     inference = BatchingInferenceServer(pipeline, **batch_kw)
-    httpd = ThreadingHTTPServer((host, port), make_handler(inference, sr))
+    streams = (
+        StreamingSessionManager(
+            online, max_sessions=max_sessions, idle_timeout_s=idle_timeout_s
+        )
+        if online is not None else None
+    )
+    httpd = ThreadingHTTPServer(
+        (host, port), make_handler(inference, sr, streams=streams)
+    )
     httpd.inference = inference
+    httpd.streams = streams
     return httpd
 
 
@@ -236,7 +425,23 @@ def main() -> None:
         help="WAV sampling rate when serving --exported (checkpoint mode "
              "reads it from the HiFi-GAN config)",
     )
+    parser.add_argument(
+        "--online", action="store_true",
+        help="additionally serve the bounded-latency streaming session "
+             "protocol (/stream/...); requires checkpoint mode (the online "
+             "engine needs the model graph, not a frozen program)",
+    )
+    parser.add_argument("--online-chunk", type=int, default=16,
+                        help="frames per streaming chunk")
+    parser.add_argument("--online-lookahead", type=int, default=16,
+                        help="backward-LSTM lookahead frames (exactness "
+                             "decays exponentially; see infer/online.py)")
+    parser.add_argument("--max-sessions", type=int, default=8)
     args = parser.parse_args()
+
+    if args.online and args.exported:
+        parser.error("--online requires checkpoint mode (not --exported): "
+                     "the streaming engine windows the model graph itself")
 
     if args.exported:
         from mri2speech_tpu.infer.export import load_exported_pipeline
@@ -266,10 +471,18 @@ def main() -> None:
         )
         with open(args.hifigan_config, "r", encoding="utf-8") as f:
             sr = json.load(f)["sampling_rate"]
+    online = None
+    if args.online:
+        from mri2speech_tpu.infer.online import OnlineVideoToSpeech
+
+        online = OnlineVideoToSpeech.from_pipeline(
+            pipeline, chunk=args.online_chunk, lookahead=args.online_lookahead
+        )
     httpd = serve(
         pipeline, sr, host=args.host, port=args.port,
         max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
         batch_multiple=args.batch_multiple or args.max_batch,
+        online=online, max_sessions=args.max_sessions,
     )
     print(f"[serving] http://{args.host}:{args.port}  "
           f"(max_batch={args.max_batch}, window={args.batch_window_ms}ms)")

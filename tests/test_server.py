@@ -163,3 +163,115 @@ def test_http_server_end_to_end(tiny_pipeline):
         httpd.shutdown()
         httpd.inference.shutdown()
         httpd.server_close()
+
+
+# -- online streaming sessions (/stream protocol) ---------------------------
+
+@pytest.fixture(scope="module")
+def tiny_online(tiny_pipeline):
+    from mri2speech_tpu.infer.online import OnlineVideoToSpeech
+
+    return OnlineVideoToSpeech.from_pipeline(
+        tiny_pipeline, chunk=4, lookahead=4
+    )
+
+
+def test_fork_sessions_isolated_and_exact(tiny_online):
+    """Interleaved forked sessions emit exactly what two solo runs emit —
+    shared compiled programs, independent stream state."""
+    rng = np.random.default_rng(21)
+    va = rng.random((12, 32, 32)).astype(np.float32)
+    vb = rng.random((12, 32, 32)).astype(np.float32)
+
+    def solo(video):
+        e = tiny_online.fork()
+        parts = [e.push(video[i : i + 4])[0] for i in range(0, 12, 4)]
+        parts.append(e.flush()[0])
+        return np.concatenate(parts)
+
+    ref_a, ref_b = solo(va), solo(vb)
+
+    ea, eb = tiny_online.fork(), tiny_online.fork()
+    out_a, out_b = [], []
+    for i in range(0, 12, 4):  # interleave pushes between the two streams
+        out_a.append(ea.push(va[i : i + 4])[0])
+        out_b.append(eb.push(vb[i : i + 4])[0])
+    out_a.append(ea.flush()[0])
+    out_b.append(eb.flush()[0])
+    np.testing.assert_array_equal(np.concatenate(out_a), ref_a)
+    np.testing.assert_array_equal(np.concatenate(out_b), ref_b)
+
+
+def test_stream_http_protocol(tiny_pipeline, tiny_online):
+    """start -> push xN -> finish over real HTTP: concatenated PCM equals a
+    direct engine run; bad sessions 404; the session limit returns 429."""
+    httpd = serve(tiny_pipeline, sr=11413, port=0, max_batch=2,
+                  batch_window_ms=1.0, online=tiny_online, max_sessions=2)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        rng = np.random.default_rng(31)
+        video = rng.random((10, 32, 32)).astype(np.float32)
+
+        e = tiny_online.fork()
+        ref = [e.push(video[:4])[0], e.push(video[4:])[0], e.flush()[0]]
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("POST", "/stream/start")
+        resp = conn.getresponse()
+        info = json.loads(resp.read())
+        assert resp.status == 200
+        assert info["chunk"] == 4 and info["sampling_rate"] == 11413
+        sid = info["session"]
+
+        got = []
+        for chunk in (video[:4], video[4:]):
+            buf = io.BytesIO()
+            np.save(buf, chunk)
+            conn.request("POST", f"/stream/{sid}/push", body=buf.getvalue())
+            resp = conn.getresponse()
+            body = resp.read()
+            assert resp.status == 200
+            assert len(body) == 4 * int(resp.getheader("X-Audio-Samples"))
+            got.append(np.frombuffer(body, dtype="<f4"))
+        conn.request("POST", f"/stream/{sid}/finish")
+        resp = conn.getresponse()
+        got.append(np.frombuffer(resp.read(), dtype="<f4"))
+        assert resp.status == 200
+        np.testing.assert_array_equal(
+            np.concatenate(got), np.concatenate(ref)
+        )
+        assert np.concatenate(got).shape == (10 * 420,)
+
+        def roundtrip(method, path, body=None):
+            conn.request(method, path, body=body)
+            resp = conn.getresponse()
+            return resp.status, resp.read()
+
+        # finished session is gone (valid body: the 404 is the session)
+        buf = io.BytesIO()
+        np.save(buf, video[:4])
+        assert roundtrip("POST", f"/stream/{sid}/push", buf.getvalue())[0] == 404
+        # malformed body -> 400
+        assert roundtrip("POST", f"/stream/{sid}/push", b"junk")[0] == 400
+
+        # healthz shows the stream gauge
+        assert json.loads(roundtrip("GET", "/healthz")[1])["active_streams"] == 0
+
+        # session limit -> 429; abort frees a slot
+        sids = [
+            json.loads(roundtrip("POST", "/stream/start")[1])["session"]
+            for _ in range(2)
+        ]
+        assert roundtrip("POST", "/stream/start")[0] == 429
+        assert roundtrip("DELETE", f"/stream/{sids[0]}")[0] == 200
+        assert roundtrip("POST", "/stream/start")[0] == 200
+        # offline /synthesize still works alongside open sessions
+        buf = io.BytesIO()
+        np.save(buf, video[:8])
+        assert roundtrip("POST", "/synthesize", buf.getvalue())[0] == 200
+        conn.close()
+    finally:
+        httpd.shutdown()
+        httpd.inference.shutdown()
+        httpd.server_close()
