@@ -462,6 +462,11 @@ def main() -> None:
         help="Disable the 128-lane ir-stage zero-padding (exact fp "
              "reordering; disable for the canonical training layout).",
     )
+    parser.add_argument(
+        "--profile-dir", default=None,
+        help="Capture a TensorBoard-loadable profiler trace (device + host "
+             "XPlane) of the timed inference pass into this directory.",
+    )
     args = parser.parse_args()
 
     video_path = Path(args.video)
@@ -483,7 +488,14 @@ def main() -> None:
     # (each discarded pass costs a full fused dispatch + a multi-MB fetch on
     # a remote-tunnel host)
     audio, mel_db, mel_log = pipeline(frames)
-    audio, stats = pipeline.timed_run(frames, sr=sr, warmup=False)
+    if args.profile_dir:
+        from mri2speech_tpu.utils.profiling import trace
+
+        with trace(args.profile_dir):
+            audio, stats = pipeline.timed_run(frames, sr=sr, warmup=False)
+        print(f"[PROFILE] trace written to {args.profile_dir}")
+    else:
+        audio, stats = pipeline.timed_run(frames, sr=sr, warmup=False)
     stem = video_path.stem
     output_dir = Path(args.output_dir)
     audio_path, mel_path, fig_path = save_outputs(audio, mel_db, output_dir, sr, stem)
