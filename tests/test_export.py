@@ -254,3 +254,17 @@ def test_load_without_model_code(artifact, tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "LOADER_ONLY_OK" in proc.stdout
+
+
+def test_unsupported_format_version_rejected(artifact, tmp_path):
+    """A loader must refuse artifacts from a future format, loudly."""
+    import shutil
+
+    _, out = artifact
+    bad = tmp_path / "artifact_v999"
+    shutil.copytree(out, bad)
+    manifest = json.loads((bad / "manifest.json").read_text())
+    manifest["format_version"] = 999
+    (bad / "manifest.json").write_text(json.dumps(manifest))
+    with pytest.raises(ValueError, match="format_version"):
+        load_exported_pipeline(bad)

@@ -275,3 +275,58 @@ def test_stream_http_protocol(tiny_pipeline, tiny_online):
         httpd.shutdown()
         httpd.inference.shutdown()
         httpd.server_close()
+
+
+def test_daemon_over_mesh_pipeline():
+    """The batching daemon composes with a mesh-sharded pipeline: concurrent
+    requests batch, shard over the 8-device data axis, and stay per-request
+    exact vs the single-device pipeline."""
+    from mri2speech_tpu.parallel.mesh import make_mesh
+
+    # rebuild the tiny stack on a mesh (params replicated, batch sharded)
+    acoustic = AcousticModel(n_mels=64, rnn_hidden=16, cnn_spec=TINY_SPEC, cnn_stem=8)
+    variables = acoustic.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, 1, 32, 32)), train=False
+    )
+    h = dict(default_vocoder_config(upsample_initial_channel=32))
+    gen_wn = Generator(h=h)
+    params_wn = gen_wn.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 4)))["params"]
+    gen = Generator(h=h, use_weight_norm=False)
+    gen_params = fold_weight_norm(jax.device_get(params_wn))
+    scaler = MelScaler(
+        mean=np.linspace(-40, -10, 64).astype(np.float32),
+        std=np.full(64, 5.0, dtype=np.float32),
+    )
+    mesh = make_mesh(n_data=8)
+    pipe_mesh = VideoToSpeechPipeline(
+        acoustic, variables, gen, gen_params, scaler, frame_bucket=8, mesh=mesh
+    )
+    pipe_solo = VideoToSpeechPipeline(
+        acoustic, variables, gen, gen_params, scaler, frame_bucket=8
+    )
+
+    rng = np.random.default_rng(41)
+    videos = [rng.random((8, 32, 32)).astype(np.float32) for _ in range(4)]
+    pipe_mesh.infer_batch(videos, batch_multiple=4)  # warm before the window
+
+    server = BatchingInferenceServer(
+        pipe_mesh, max_batch=4, batch_window_ms=2000.0, batch_multiple=4
+    )
+    try:
+        results = [None] * 4
+
+        def call(i):
+            results[i] = server.synthesize(videos[i], timeout=300)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        a_ref, m_ref = pipe_solo.infer_batch(videos, batch_multiple=4)
+        for i, (audio, mel, _n) in enumerate(results):
+            np.testing.assert_allclose(audio, a_ref[i], atol=1e-5)
+            np.testing.assert_allclose(mel, m_ref[i], atol=1e-5)
+        assert server.stats()["batches_dispatched"] < 4
+    finally:
+        server.shutdown()
