@@ -353,6 +353,11 @@ def main() -> None:
              "the concrete bucket grid will then be rejected)",
     )
     parser.add_argument(
+        "--int8", action="store_true",
+        help="freeze the int8-quantized vocoder MRF program (LOSSY opt-in, "
+             "same caveats as m2s-infer-video --int8)",
+    )
+    parser.add_argument(
         "--verify", action="store_true",
         help="reload the artifact and check it against the live pipeline "
              "on a random video (reports max |diff|)",
@@ -363,6 +368,7 @@ def main() -> None:
         args.mri_checkpoint, args.scaler_json, args.hifigan_config,
         args.hifigan_checkpoint, frame_bucket=args.frame_bucket,
         input_norm="zscore_minmax" if args.uint8 else "none",
+        quantize=args.int8,
         # the frozen program must not bake in a backend-specific kernel
         # choice when lowering for multiple platforms; scan lowers everywhere
     )

@@ -23,6 +23,9 @@ POST /synthesize
     / X-Batched-With (how many requests shared the dispatch).
 GET /healthz
     response: 200, application/json with cumulative stats.
+GET /metrics
+    response: 200, Prometheus text format — request/failure/batch counters,
+    request-latency histogram, active-stream gauge.
 
 With `--online` (or `serve(..., online=engine)`) the bounded-latency
 streaming mode (`infer/online.py`) is additionally served as HTTP sessions —
@@ -72,10 +75,16 @@ class BatchingInferenceServer:
         self.max_batch = max(1, int(max_batch))
         self.batch_window_s = max(0.0, float(batch_window_ms)) / 1000.0
         self.batch_multiple = max(1, int(batch_multiple))
-        self._queue: "queue.Queue[Optional[Tuple[np.ndarray, Future]]]" = queue.Queue()
+        self._queue: "queue.Queue[Optional[Tuple[np.ndarray, Future, float]]]" = queue.Queue()
         self._stats_lock = threading.Lock()
         self.requests_served = 0
         self.batches_dispatched = 0
+        self.requests_failed = 0
+        # request latency (enqueue -> result set): histogram buckets in
+        # seconds + running sum/count, Prometheus-convention cumulative
+        self._lat_bounds = (0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0)
+        self._lat_counts = [0] * (len(self._lat_bounds) + 1)
+        self._lat_sum = 0.0
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -83,9 +92,11 @@ class BatchingInferenceServer:
         """Blocking: frames (T, H, W) -> (audio float32 (T*hop,), mel_db (T, n_mels),
         n_batched). Raises whatever the pipeline raised for this request."""
         if frames.ndim != 3:
+            with self._stats_lock:
+                self.requests_failed += 1
             raise ValueError(f"frames must be (T, H, W); got shape {frames.shape}")
         fut: Future = Future()
-        self._queue.put((frames, fut))
+        self._queue.put((frames, fut, time.monotonic()))
         return fut.result(timeout=timeout)
 
     def shutdown(self) -> None:
@@ -113,38 +124,84 @@ class BatchingInferenceServer:
             batch.append(item)
         return batch
 
+    def _record_latencies(self, batch) -> None:
+        now = time.monotonic()
+        with self._stats_lock:
+            for _, _, t0 in batch:
+                dt = now - t0
+                self._lat_sum += dt
+                i = 0
+                while i < len(self._lat_bounds) and dt > self._lat_bounds[i]:
+                    i += 1
+                self._lat_counts[i] += 1
+
     def _loop(self) -> None:
         while True:
             batch = self._collect()
             if batch is None:
                 return
-            videos = [frames for frames, _ in batch]
+            videos = [frames for frames, _, _ in batch]
             try:
                 audios, mels = self.pipeline.infer_batch(
                     videos, batch_multiple=self.batch_multiple
                 )
             except Exception as exc:  # surface the failure to every waiter
-                for _, fut in batch:
+                with self._stats_lock:
+                    self.requests_failed += len(batch)
+                for _, fut, _ in batch:
                     if not fut.cancelled():
                         fut.set_exception(exc)
                 continue
             with self._stats_lock:
                 self.requests_served += len(batch)
                 self.batches_dispatched += 1
-            for (_, fut), audio, mel in zip(batch, audios, mels):
+            for (_, fut, _), audio, mel in zip(batch, audios, mels):
                 if not fut.cancelled():
                     fut.set_result((audio, mel, len(batch)))
+            self._record_latencies(batch)
 
     def stats(self) -> dict:
         with self._stats_lock:
             return {
                 "status": "ok",
                 "requests_served": self.requests_served,
+                "requests_failed": self.requests_failed,
                 "batches_dispatched": self.batches_dispatched,
                 "max_batch": self.max_batch,
                 "batch_window_ms": self.batch_window_s * 1000.0,
                 "batch_multiple": self.batch_multiple,
+                "latency_seconds_sum": self._lat_sum,
             }
+
+    def prometheus_metrics(self, active_streams: Optional[int] = None) -> str:
+        """Cumulative counters + request-latency histogram in the Prometheus
+        text exposition format (scrape GET /metrics)."""
+        with self._stats_lock:
+            lines = [
+                "# TYPE m2s_requests_served_total counter",
+                f"m2s_requests_served_total {self.requests_served}",
+                "# TYPE m2s_requests_failed_total counter",
+                f"m2s_requests_failed_total {self.requests_failed}",
+                "# TYPE m2s_batches_dispatched_total counter",
+                f"m2s_batches_dispatched_total {self.batches_dispatched}",
+                "# TYPE m2s_request_latency_seconds histogram",
+            ]
+            cum = 0
+            for bound, n in zip(self._lat_bounds, self._lat_counts):
+                cum += n
+                lines.append(
+                    f'm2s_request_latency_seconds_bucket{{le="{bound}"}} {cum}'
+                )
+            cum += self._lat_counts[-1]
+            lines.append(f'm2s_request_latency_seconds_bucket{{le="+Inf"}} {cum}')
+            lines.append(f"m2s_request_latency_seconds_sum {self._lat_sum}")
+            lines.append(f"m2s_request_latency_seconds_count {cum}")
+        if active_streams is not None:
+            lines += [
+                "# TYPE m2s_active_streams gauge",
+                f"m2s_active_streams {active_streams}",
+            ]
+        return "\n".join(lines) + "\n"
 
 
 class StreamingSessionManager:
@@ -279,6 +336,11 @@ def make_handler(server: BatchingInferenceServer, sr: int, streams=None):
                 if streams is not None:
                     stats["active_streams"] = streams.active()
                 self._reply(200, json.dumps(stats).encode(), "application/json")
+            elif self.path == "/metrics":
+                body = server.prometheus_metrics(
+                    streams.active() if streams is not None else None
+                ).encode()
+                self._reply(200, body, "text/plain; version=0.0.4")
             else:
                 self._reply(404, b"not found", "text/plain")
 

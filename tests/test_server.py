@@ -330,3 +330,54 @@ def test_daemon_over_mesh_pipeline():
         assert server.stats()["batches_dispatched"] < 4
     finally:
         server.shutdown()
+
+
+def test_metrics_endpoint(tiny_pipeline):
+    """GET /metrics: Prometheus text format with consistent counters and a
+    cumulative latency histogram that accounts for every request."""
+    rng = np.random.default_rng(51)
+    frames = rng.random((8, 32, 32)).astype(np.float32)
+    httpd = serve(tiny_pipeline, sr=11413, port=0, max_batch=2,
+                  batch_window_ms=1.0, batch_multiple=2)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        buf = io.BytesIO()
+        np.save(buf, frames)
+        for _ in range(3):
+            conn.request("POST", "/synthesize", body=buf.getvalue())
+            r = conn.getresponse()
+            r.read()
+            assert r.status == 200
+        # one failure (bad rank) must count as failed, not served
+        bad = io.BytesIO()
+        np.save(bad, frames[0])
+        conn.request("POST", "/synthesize", body=bad.getvalue())
+        conn.getresponse().read()
+
+        conn.request("GET", "/metrics")
+        resp = conn.getresponse()
+        text = resp.read().decode()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type").startswith("text/plain")
+        metrics = {}
+        for line in text.splitlines():
+            if line.startswith("#") or not line:
+                continue
+            key, val = line.rsplit(" ", 1)
+            metrics[key] = float(val)
+        assert metrics["m2s_requests_served_total"] == 3
+        assert metrics["m2s_requests_failed_total"] == 1
+        assert metrics["m2s_request_latency_seconds_count"] == 3
+        assert metrics['m2s_request_latency_seconds_bucket{le="+Inf"}'] == 3
+        assert metrics["m2s_request_latency_seconds_sum"] > 0
+        # histogram buckets are cumulative (monotone nondecreasing)
+        cums = [v for k, v in metrics.items()
+                if k.startswith("m2s_request_latency_seconds_bucket")]
+        assert cums == sorted(cums)
+        conn.close()
+    finally:
+        httpd.shutdown()
+        httpd.inference.shutdown()
+        httpd.server_close()
