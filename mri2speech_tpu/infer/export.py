@@ -30,6 +30,9 @@ Artifact layout (a directory):
     params.msgpack                   {"acoustic": variables, "generator": params}
     programs/fwd_b{B}_t{Tp}.bin      serialized jax.export.Exported per bucket
     programs/fwd_symbolic.bin        shape-polymorphic program (see below)
+    programs/mel_to_audio.bin        vocoder-only program (ln-power mel ->
+                                     audio, symbolic batch+time) — the frozen
+                                     `inference_e2e.py` / `m2s-infer-mels` path
 
 Beyond the concrete bucket grid, the artifact carries ONE shape-polymorphic
 program exported with symbolic (batch, time) dimensions
@@ -62,6 +65,7 @@ MANIFEST_NAME = "manifest.json"
 PARAMS_NAME = "params.msgpack"
 PROGRAMS_DIR = "programs"
 SYMBOLIC_NAME = "fwd_symbolic.bin"
+MEL_PROGRAM_NAME = "mel_to_audio.bin"
 _FORMAT_VERSION = 1
 
 
@@ -152,6 +156,21 @@ def export_pipeline(
         (out / PROGRAMS_DIR / SYMBOLIC_NAME).write_bytes(exp.serialize())
         symbolic_file = SYMBOLIC_NAME
 
+    # vocoder-only program: ln-power mel (n, M, t) -> audio — the frozen
+    # equivalent of `m2s-infer-mels` (`inference_e2e.py` in the reference),
+    # so precomputed/exported mels synthesize from the same artifact
+    n_mels = int(np.shape(pipeline.mean)[0])
+
+    def _mel_only(generator_params, mel_log):
+        return pipeline.generator.apply({"params": generator_params}, mel_log)
+
+    scope = jax.export.SymbolicScope()
+    n, t = jax.export.symbolic_shape("n, t", scope=scope)
+    exp = jax.export.export(jax.jit(_mel_only), platforms=plats)(
+        gparams_spec, jax.ShapeDtypeStruct((n, n_mels, t), jnp.float32)
+    )
+    (out / PROGRAMS_DIR / MEL_PROGRAM_NAME).write_bytes(exp.serialize())
+
     with open(out / PARAMS_NAME, "wb") as f:
         f.write(
             serialization.msgpack_serialize(
@@ -162,6 +181,8 @@ def export_pipeline(
         "format_version": _FORMAT_VERSION,
         "programs": programs,
         "symbolic_program": symbolic_file,
+        "mel_program": MEL_PROGRAM_NAME,
+        "n_mels": n_mels,
         "hop_total": int(pipeline.hop_total),
         "frame_bucket": int(pipeline.frame_bucket),
         "input_norm": pipeline.input_norm,
@@ -288,6 +309,29 @@ class ExportedPipeline:
     def infer_audio(self, frames: np.ndarray) -> np.ndarray:
         Ts, audio, _, _ = self._run([frames])
         return np.asarray(audio)[0, 0, : Ts[0] * self.hop_total]
+
+    def mel_to_audio(self, mel_log: np.ndarray) -> np.ndarray:
+        """ln-power mel (n_mels, T) or (n, n_mels, T) -> float32 audio
+        ((T*hop,) / (n, T*hop)) through the frozen vocoder-only program —
+        the artifact's `m2s-infer-mels` (`inference_e2e.py`) equivalent."""
+        fname = self.manifest.get("mel_program")
+        if fname is None:
+            raise ValueError(
+                "artifact has no mel_to_audio program; re-export with the "
+                "current exporter"
+            )
+        mel = np.asarray(mel_log, dtype=np.float32)
+        squeeze = mel.ndim == 2
+        if squeeze:
+            mel = mel[None]
+        if mel.shape[1] != self.manifest.get("n_mels", mel.shape[1]):
+            raise ValueError(
+                f"mel has {mel.shape[1]} bins; artifact expects "
+                f"{self.manifest['n_mels']}"
+            )
+        call = self._load_call("mel", fname)
+        audio = np.asarray(call(self._gparams, mel))[:, 0, :]
+        return audio[0] if squeeze else audio
 
     def infer_batch(self, videos, batch_multiple: int = 1):
         """N videos -> (N waveforms, N mel_db) in one frozen fused dispatch.

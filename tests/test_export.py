@@ -268,3 +268,31 @@ def test_unsupported_format_version_rejected(artifact, tmp_path):
     (bad / "manifest.json").write_text(json.dumps(manifest))
     with pytest.raises(ValueError, match="format_version"):
         load_exported_pipeline(bad)
+
+
+def test_mel_to_audio_program(artifact):
+    """The artifact's vocoder-only program (the frozen `m2s-infer-mels`
+    path) matches the live generator exactly, for 2D and batched mels."""
+    pipe, out = artifact
+    loaded = load_exported_pipeline(out)
+    rng = np.random.default_rng(37)
+    mel = rng.standard_normal((64, 6)).astype(np.float32)
+    got = loaded.mel_to_audio(mel)
+    ref = np.asarray(
+        pipe.generator.apply({"params": pipe.generator_params},
+                             jnp.asarray(mel[None]))
+    )[0, 0]
+    # shape-refined codegen may fuse differently than a fresh concrete jit:
+    # same math, last-bit fp differences
+    np.testing.assert_allclose(got, ref, atol=1e-6, rtol=0)
+    assert got.shape == (6 * 420,)
+
+    batch = rng.standard_normal((2, 64, 9)).astype(np.float32)
+    got_b = loaded.mel_to_audio(batch)
+    assert got_b.shape == (2, 9 * 420)
+    np.testing.assert_allclose(
+        got_b[0], loaded.mel_to_audio(batch[0]), atol=1e-6, rtol=0
+    )
+
+    with pytest.raises(ValueError, match="bins"):
+        loaded.mel_to_audio(rng.standard_normal((32, 6)).astype(np.float32))
