@@ -272,6 +272,14 @@ class ExportedPipeline:
                 f"frame size {hw} does not match the exported "
                 f"{tuple(self.manifest['frame_shape'])}"
             )
+        if self.frames_dtype == np.uint8:
+            for v in videos:
+                if v.dtype != np.uint8:
+                    raise ValueError(
+                        f"artifact expects raw uint8 frames (it normalises "
+                        f"on device); got {v.dtype} — silently casting "
+                        f"float frames to uint8 would truncate them"
+                    )
         fb = np.empty((batch, frames, 1) + hw, dtype=self.frames_dtype)
         mb = np.zeros((batch, frames), dtype=np.float32)
         for i, v in enumerate(videos):

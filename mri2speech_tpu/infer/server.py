@@ -276,11 +276,14 @@ class StreamingSessionManager:
 
     def finish(self, sid: str):
         s = self._get(sid)
-        with s["lock"], self._dispatch:
-            out = s["engine"].flush()
-        with self._registry:
-            self._sessions.pop(sid, None)
-        return out
+        try:
+            with s["lock"], self._dispatch:
+                return s["engine"].flush()
+        finally:
+            # the session ends either way — a failed drain must not leak a
+            # slot holding broken stream state
+            with self._registry:
+                self._sessions.pop(sid, None)
 
     def abort(self, sid: str) -> None:
         with self._registry:

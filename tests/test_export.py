@@ -296,3 +296,16 @@ def test_mel_to_audio_program(artifact):
 
     with pytest.raises(ValueError, match="bins"):
         loaded.mel_to_audio(rng.standard_normal((32, 6)).astype(np.float32))
+
+
+def test_uint8_artifact_rejects_float_frames(tmp_path):
+    """Float frames into a uint8 artifact would silently truncate to zeros;
+    the loader must refuse instead."""
+    pipe = _tiny_pipeline(input_norm="zscore_minmax")
+    out = tmp_path / "artifact_u8_guard"
+    export_pipeline(pipe, out, batch_sizes=(1,), frame_buckets=(8,),
+                    frame_shape=(32, 32), symbolic=False)
+    loaded = load_exported_pipeline(out)
+    rng = np.random.default_rng(43)
+    with pytest.raises(ValueError, match="uint8"):
+        loaded.infer_audio(rng.random((8, 32, 32)).astype(np.float32))
