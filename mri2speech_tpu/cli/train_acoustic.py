@@ -144,19 +144,21 @@ def main() -> None:
     sample = next(iter(val_loader))
     state = trainer.init_state(sample)
 
+    # resolve the run's effective checkpoint FIRST (an explicit --resume_ckpt
+    # with the default --out_ckpt continues that lineage, as before), so the
+    # emergency snapshot is namespaced to the checkpoint this run actually
+    # writes — not to an unrelated default path
+    explicit = os.path.abspath(args.resume_ckpt) if args.resume_ckpt else None
+    if explicit and args.out_ckpt == "best_mri_acoustic_model.ckpt":
+        args.out_ckpt = explicit
     emergency_path = os.path.abspath(args.out_ckpt) + ".preempt"
-    resume_path = maybe_resume_path(
-        os.path.abspath(args.resume_ckpt) if args.resume_ckpt else None,
-        emergency_path,
-    )
+    resume_path = maybe_resume_path(explicit, emergency_path)
     if resume_path:
         if not os.path.exists(resume_path):
             raise FileNotFoundError(f"Resume checkpoint {resume_path} not found.")
         if resume_path == emergency_path:
             print(f"[PREEMPT] Auto-resuming from emergency snapshot {resume_path}")
         state, _ = trainer.resume_from_checkpoint(resume_path, state)
-        if args.out_ckpt == "best_mri_acoustic_model.ckpt" and resume_path != emergency_path:
-            args.out_ckpt = resume_path
 
     try:
         trainer.fit(

@@ -83,6 +83,7 @@ def export_pipeline(
     frames_dtype=None,
     platforms: Optional[Sequence[str]] = None,
     symbolic: bool = True,
+    sampling_rate: Optional[int] = None,
 ) -> Path:
     """Export a `VideoToSpeechPipeline`'s fused program grid to `out_dir`.
 
@@ -183,6 +184,9 @@ def export_pipeline(
         "symbolic_program": symbolic_file,
         "mel_program": MEL_PROGRAM_NAME,
         "n_mels": n_mels,
+        # recorded so a deployed daemon tags WAVs correctly without the
+        # operator re-supplying the model's rate
+        "sampling_rate": int(sampling_rate) if sampling_rate else None,
         "hop_total": int(pipeline.hop_total),
         "frame_bucket": int(pipeline.frame_bucket),
         "input_norm": pipeline.input_norm,
@@ -226,6 +230,7 @@ class ExportedPipeline:
         self.frame_bucket = int(self.manifest["frame_bucket"])
         self.input_norm = self.manifest["input_norm"]
         self.frames_dtype = np.dtype(self.manifest["frames_dtype"])
+        self.sampling_rate = self.manifest.get("sampling_rate")
         with open(self.dir / PARAMS_NAME, "rb") as f:
             params = serialization.msgpack_restore(f.read())
         self._avars = jax.device_put(params["acoustic"])
@@ -288,6 +293,8 @@ class ExportedPipeline:
                     f"all videos in a batch must share the frame size; got "
                     f"{v.shape[1:]} vs {hw}"
                 )
+            if v.shape[0] == 0:
+                raise ValueError("videos must have at least one frame")
             t = v.shape[0]
             fb[i, :t, 0] = v
             fb[i, t:, 0] = v[-1]
@@ -430,10 +437,12 @@ def main() -> None:
         if args.frame_buckets else None
     )
     platforms = args.platforms.split(",") if args.platforms else None
+    with open(args.hifigan_config, "r", encoding="utf-8") as f:
+        sampling_rate = json.load(f).get("sampling_rate")
     out = export_pipeline(
         pipeline, args.output_dir, batch_sizes=batch_sizes,
         frame_buckets=frame_buckets, platforms=platforms,
-        symbolic=not args.no_symbolic,
+        symbolic=not args.no_symbolic, sampling_rate=sampling_rate,
     )
     n = len(json.load(open(out / MANIFEST_NAME))["programs"])
     print(f"[exported] {n} program(s) -> {out}")

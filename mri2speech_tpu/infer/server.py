@@ -70,11 +70,16 @@ class BatchingInferenceServer:
         max_batch: int = 8,
         batch_window_ms: float = 10.0,
         batch_multiple: int = 1,
+        dispatch_lock: Optional[threading.Lock] = None,
     ) -> None:
+        """dispatch_lock: share one lock with other device users (the
+        streaming session manager) so 'exactly one thread talks to the
+        device' holds across ALL serving surfaces, not just within each."""
         self.pipeline = pipeline
         self.max_batch = max(1, int(max_batch))
         self.batch_window_s = max(0.0, float(batch_window_ms)) / 1000.0
         self.batch_multiple = max(1, int(batch_multiple))
+        self._dispatch = dispatch_lock or threading.Lock()
         self._queue: "queue.Queue[Optional[Tuple[np.ndarray, Future, float]]]" = queue.Queue()
         self._stats_lock = threading.Lock()
         self.requests_served = 0
@@ -91,10 +96,13 @@ class BatchingInferenceServer:
     def synthesize(self, frames: np.ndarray, timeout: Optional[float] = None):
         """Blocking: frames (T, H, W) -> (audio float32 (T*hop,), mel_db (T, n_mels),
         n_batched). Raises whatever the pipeline raised for this request."""
-        if frames.ndim != 3:
+        if frames.ndim != 3 or frames.shape[0] == 0:
             with self._stats_lock:
                 self.requests_failed += 1
-            raise ValueError(f"frames must be (T, H, W); got shape {frames.shape}")
+            raise ValueError(
+                f"frames must be (T, H, W) with T >= 1; got shape "
+                f"{frames.shape}"
+            )  # reject up front: one bad request must not fail its co-batch
         fut: Future = Future()
         self._queue.put((frames, fut, time.monotonic()))
         return fut.result(timeout=timeout)
@@ -142,9 +150,10 @@ class BatchingInferenceServer:
                 return
             videos = [frames for frames, _, _ in batch]
             try:
-                audios, mels = self.pipeline.infer_batch(
-                    videos, batch_multiple=self.batch_multiple
-                )
+                with self._dispatch:
+                    audios, mels = self.pipeline.infer_batch(
+                        videos, batch_multiple=self.batch_multiple
+                    )
             except Exception as exc:  # surface the failure to every waiter
                 with self._stats_lock:
                     self.requests_failed += len(batch)
@@ -152,13 +161,16 @@ class BatchingInferenceServer:
                     if not fut.cancelled():
                         fut.set_exception(exc)
                 continue
+            # latencies recorded BEFORE results release the waiters, so a
+            # client that immediately scrapes /metrics sees a histogram
+            # count consistent with requests_served
+            self._record_latencies(batch)
             with self._stats_lock:
                 self.requests_served += len(batch)
                 self.batches_dispatched += 1
             for (_, fut, _), audio, mel in zip(batch, audios, mels):
                 if not fut.cancelled():
                     fut.set_result((audio, mel, len(batch)))
-            self._record_latencies(batch)
 
     def stats(self) -> dict:
         with self._stats_lock:
@@ -221,13 +233,16 @@ class StreamingSessionManager:
         *,
         max_sessions: int = 8,
         idle_timeout_s: float = 600.0,
+        dispatch_lock: Optional[threading.Lock] = None,
     ) -> None:
         self.engine = engine
         self.max_sessions = max(1, int(max_sessions))
         self.idle_timeout_s = float(idle_timeout_s)
         self._sessions: dict = {}
         self._registry = threading.Lock()
-        self._dispatch = threading.Lock()
+        # shared with the batching worker when both surfaces serve one
+        # device (see `serve`): exactly one thread dispatches at a time
+        self._dispatch = dispatch_lock or threading.Lock()
         self._next_id = 0
 
     def _reap_locked(self) -> None:
@@ -437,10 +452,14 @@ def serve(pipeline, sr: int, host: str = "127.0.0.1", port: int = 8571,
     CLI below). The batching server is attached as `.inference`; passing an
     `OnlineVideoToSpeech` as `online` enables the /stream session protocol
     (attached as `.streams`)."""
-    inference = BatchingInferenceServer(pipeline, **batch_kw)
+    shared_lock = threading.Lock()
+    inference = BatchingInferenceServer(
+        pipeline, dispatch_lock=shared_lock, **batch_kw
+    )
     streams = (
         StreamingSessionManager(
-            online, max_sessions=max_sessions, idle_timeout_s=idle_timeout_s
+            online, max_sessions=max_sessions, idle_timeout_s=idle_timeout_s,
+            dispatch_lock=shared_lock,
         )
         if online is not None else None
     )
@@ -486,9 +505,10 @@ def main() -> None:
              "(reference inference normalisation, 4x less request traffic).",
     )
     parser.add_argument(
-        "--sampling-rate", type=int, default=11413,
-        help="WAV sampling rate when serving --exported (checkpoint mode "
-             "reads it from the HiFi-GAN config)",
+        "--sampling-rate", type=int, default=None,
+        help="WAV sampling rate override when serving --exported (default: "
+             "the rate recorded in the artifact manifest, else 11413; "
+             "checkpoint mode reads it from the HiFi-GAN config)",
     )
     parser.add_argument(
         "--online", action="store_true",
@@ -512,7 +532,7 @@ def main() -> None:
         from mri2speech_tpu.infer.export import load_exported_pipeline
 
         pipeline = load_exported_pipeline(args.exported)
-        sr = args.sampling_rate
+        sr = args.sampling_rate or pipeline.sampling_rate or 11413
     else:
         required = ("mri_checkpoint", "scaler_json", "hifigan_config",
                     "hifigan_checkpoint")

@@ -515,8 +515,10 @@ class AcousticTrainer:
                 print("[STOP] LR reached min.")
                 break
         # completed without preemption: a leftover emergency snapshot (this
-        # run resumed from one, or an older run left one) is now stale
-        if self.preempt is not None and host_is_primary():
+        # run resumed from one, or an older run left one) is now stale —
+        # regardless of whether THIS run had a guard (a guardless run that
+        # auto-resumed the snapshot must not leave it to be re-resumed)
+        if host_is_primary():
             import shutil
 
             if os.path.isdir(emergency_path):

@@ -52,8 +52,12 @@ class PreemptionGuard:
     def __init__(
         self,
         signals: Sequence[int] = (signal.SIGTERM, signal.SIGINT),
-        sync_every: int = 1,
+        sync_every: int = 10,
     ) -> None:
+        """sync_every: multi-host polls run the agreement collective every
+        Nth step only (a per-step cross-host barrier is needless overhead;
+        reaction latency stays <= N steps, well inside any grace window).
+        Single-process runs always react at the next step regardless."""
         self._signals = tuple(signals)
         self._prev = {}
         self._event = threading.Event()
@@ -65,6 +69,10 @@ class PreemptionGuard:
     # -- signal plumbing ----------------------------------------------------
     def _handler(self, signum, frame):  # noqa: ARG002
         self._event.set()
+        # one graceful signal is the contract; restore the previous handlers
+        # so a SECOND Ctrl-C / SIGTERM can force-quit a hung step or a
+        # stalled checkpoint save instead of being swallowed
+        self.uninstall()
 
     def install(self) -> "PreemptionGuard":
         if not self._installed:
@@ -128,13 +136,17 @@ class PreemptionGuard:
 def maybe_resume_path(
     explicit: Optional[str], emergency: str
 ) -> Optional[str]:
-    """Resume-path policy: an explicit --resume_ckpt wins; otherwise a
-    leftover emergency checkpoint (from a preempted previous run) is picked
-    up automatically. Returns None when neither exists."""
+    """Resume-path policy. The emergency snapshot wins when it exists —
+    it is namespaced to the run's own checkpoint path, so its presence
+    means the LAST run of this exact lineage was preempted and the
+    snapshot holds strictly newer progress than any explicit --resume_ckpt
+    (re-running the identical command after a preemption must not silently
+    resume the older checkpoint and then garbage-collect the snapshot).
+    Otherwise the explicit path; None when neither exists."""
     import os
 
-    if explicit:
-        return explicit
     if os.path.exists(emergency):
         return emergency
+    if explicit:
+        return explicit
     return None

@@ -160,9 +160,10 @@ def test_uint8_input_contract(tmp_path):
     pipe = _tiny_pipeline(input_norm="zscore_minmax")
     out = tmp_path / "artifact_u8"
     export_pipeline(pipe, out, batch_sizes=(1,), frame_buckets=(8,),
-                    frame_shape=(32, 32))
+                    frame_shape=(32, 32), sampling_rate=22050)
     loaded = load_exported_pipeline(out)
     assert loaded.frames_dtype == np.uint8
+    assert loaded.sampling_rate == 22050  # daemon tags WAVs from the manifest
     rng = np.random.default_rng(5)
     video = (rng.random((8, 32, 32)) * 255).astype(np.uint8)
     np.testing.assert_array_equal(

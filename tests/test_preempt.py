@@ -78,9 +78,13 @@ def test_guard_signal_and_restore():
 def test_maybe_resume_path(tmp_path):
     emer = tmp_path / "ckpt.preempt"
     assert maybe_resume_path(None, str(emer)) is None
+    assert maybe_resume_path("/explicit", str(emer)) == "/explicit"
     emer.write_bytes(b"x")
     assert maybe_resume_path(None, str(emer)) == str(emer)
-    assert maybe_resume_path("/explicit", str(emer)) == "/explicit"
+    # the snapshot is strictly newer progress of this exact lineage: it wins
+    # even over an explicit --resume_ckpt (re-running the identical command
+    # after a preemption must not resume the older checkpoint)
+    assert maybe_resume_path("/explicit", str(emer)) == str(emer)
 
 
 def test_trainer_stops_saves_and_resumes_exactly(tmp_path):

@@ -37,14 +37,22 @@ SR = 11413
 
 
 def run_level(submit, videos, c: int, repeats: int):
-    """Fire c concurrent requests `repeats` times; return (wall_s, lat_s)."""
+    """Fire c concurrent requests `repeats` times; return (wall_s, lat_s).
+
+    A failed request aborts the benchmark with ITS error (a None latency
+    silently polluting the medians would hide the root cause)."""
     walls, lats = [], []
     for r in range(repeats):
         lat = [None] * c
+        errs = [None] * c
 
         def call(i):
             t0 = time.perf_counter()
-            submit(videos[(r * c + i) % len(videos)])
+            try:
+                submit(videos[(r * c + i) % len(videos)])
+            except BaseException as exc:  # noqa: BLE001 — re-raised below
+                errs[i] = exc
+                return
             lat[i] = time.perf_counter() - t0
 
         threads = [threading.Thread(target=call, args=(i,)) for i in range(c)]
@@ -53,6 +61,9 @@ def run_level(submit, videos, c: int, repeats: int):
             t.start()
         for t in threads:
             t.join()
+        for e in errs:
+            if e is not None:
+                raise RuntimeError(f"request failed at concurrency {c}") from e
         walls.append(time.perf_counter() - t0)
         lats.extend(lat)
     return walls, lats
