@@ -48,6 +48,7 @@ class VideoToSpeechPipeline:
         input_norm: str = "none",
         streaming: bool = False,
         mesh=None,
+        sequence_parallel: bool = False,
     ) -> None:
         """input_norm:
         * "none" — frames arrive already normalised (float [0,1] or z-scored)
@@ -73,13 +74,39 @@ class VideoToSpeechPipeline:
           nothing — the computation is embarrassingly batch-parallel), scaling
           serving throughput across chips. Per-video outputs are exact vs the
           single-device run (everything is per-sample at inference).
+
+        sequence_parallel:
+        * True (requires `mesh`) — additionally shard the FRAME/TIME axis over
+          the mesh's "model" axis, scaling single-request latency (not just
+          batch throughput) across chips: the CNN is frame-wise, so frame
+          sharding is embarrassingly parallel; the generator's time-axis convs
+          run spatially partitioned (GSPMD inserts the halo exchanges); only
+          the BiLSTM runs on the gathered (tiny, T x C) feature sequence.
+          Outputs are exact vs the single-device run. The TPU-native
+          single-video scaling mode — the reference has no analogue (one GPU
+          per video, `run_mri_video_inference.py:203-255`). Composes with the
+          batch "data" axis: `infer_batch` on a (data, model) mesh shards
+          batch AND time.
         """
         if input_norm not in ("none", "zscore_minmax"):
             raise ValueError(
                 f"input_norm must be 'none' or 'zscore_minmax', got {input_norm!r}"
             )
+        if sequence_parallel and mesh is None:
+            raise ValueError("sequence_parallel=True requires a mesh")
+        if sequence_parallel and not {"data", "model"} <= set(mesh.axis_names):
+            raise ValueError(
+                f"sequence_parallel needs a ('data', 'model') mesh "
+                f"(parallel/mesh.py::make_mesh); got axes {mesh.axis_names}"
+            )
+        if sequence_parallel and streaming:
+            raise ValueError(
+                "sequence_parallel is a monolithic-dispatch mode; the "
+                "streaming path already chunks the frame axis on the host"
+            )
         self.acoustic_model = acoustic_model
         self.mesh = mesh
+        self.sequence_parallel = bool(sequence_parallel)
         # device_put once; weights are passed as jit ARGUMENTS (closing over
         # them would embed tens of MB of literals in the HLO and stall
         # compilation, especially with remote compile)
@@ -119,15 +146,51 @@ class VideoToSpeechPipeline:
         hi = jnp.max(g, axis=(-2, -1), keepdims=True)
         return jnp.where(hi > lo, (g - lo) / jnp.where(hi > lo, hi - lo, 1.0), 0.0)
 
+    def _seq_sharding(self, *spec):
+        """NamedSharding over the pipeline mesh (sequence-parallel mode)."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        return NamedSharding(self.mesh, PartitionSpec(*spec))
+
+    def _batch_axis_name(self, batch: int):
+        """Shard the batch dim over "data" only when there is one to shard;
+        a batch of 1 on a data>1 mesh would otherwise be padded with dead
+        rows — replicating over "data" instead keeps every chip's model-axis
+        work real."""
+        return "data" if batch > 1 else None
+
     def _forward(self, acoustic_variables, generator_params, frames, mask):
-        """frames (1, Tp, 1, H, W), mask (1, Tp) -> (audio, mel_db, mel_log)."""
+        """frames (B, Tp, 1, H, W), mask (B, Tp) -> (audio, mel_db, mel_log)."""
+        if self.sequence_parallel:
+            # shard the raw frames first so the cast/normalise runs sharded too
+            frames = jax.lax.with_sharding_constraint(
+                frames,
+                self._seq_sharding(self._batch_axis_name(frames.shape[0]), "model"),
+            )
         if self.input_norm == "zscore_minmax":
             frames = self._normalize_frames(frames)
         else:
             frames = frames.astype(jnp.float32)
-        pred_norm = self.acoustic_model.apply(
-            acoustic_variables, frames, train=False, mask=mask
-        )  # (1, Tp, n_mels)
+        if self.sequence_parallel:
+            # frame-sharded CNN (embarrassingly parallel) -> all-gather the
+            # tiny pooled features -> sequential BiLSTM + head
+            B, Tp = frames.shape[0], frames.shape[1]
+            feat_map = self.acoustic_model.apply(
+                acoustic_variables, frames, train=False,
+                method=AcousticModel.cnn_features,
+            )  # (B*Tp, h, w, C)
+            pooled = jnp.mean(feat_map, axis=(1, 2)).reshape(B, Tp, -1)
+            pooled = jax.lax.with_sharding_constraint(
+                pooled, self._seq_sharding(self._batch_axis_name(B))
+            )
+            pred_norm = self.acoustic_model.apply(
+                acoustic_variables, pooled, mask, train=False,
+                method=AcousticModel.head_from_pooled,
+            )
+        else:
+            pred_norm = self.acoustic_model.apply(
+                acoustic_variables, frames, train=False, mask=mask
+            )  # (B, Tp, n_mels)
         return self._mel_to_audio(generator_params, pred_norm)
 
     def _cnn_forward(self, acoustic_variables, frames):
@@ -160,6 +223,15 @@ class VideoToSpeechPipeline:
         mel_db = pred_norm * self.std + self.mean
         mel_log = mel_db_to_log_power(mel_db)
         x = jnp.swapaxes(mel_log, 1, 2)  # (1, n_mels, Tp)
+        if self.sequence_parallel:
+            # time-sharded generator: XLA's SPMD partitioner inserts the
+            # halo exchanges the causal dilated convs need (exact)
+            x = jax.lax.with_sharding_constraint(
+                x,
+                self._seq_sharding(
+                    self._batch_axis_name(x.shape[0]), None, "model"
+                ),
+            )
         audio = self.generator.apply({"params": generator_params}, x)
         return audio, mel_db, mel_log
 
@@ -337,6 +409,7 @@ def build_pipeline_from_checkpoints(
     stem_s2d: bool = True,
     pad_ir: bool = True,
     mesh=None,
+    sequence_parallel: bool = False,
 ) -> VideoToSpeechPipeline:
     from mri2speech_tpu.infer.vocoder_io import load_generator
     from mri2speech_tpu.models.vocoder import (
@@ -393,7 +466,7 @@ def build_pipeline_from_checkpoints(
     return VideoToSpeechPipeline(
         model, variables, generator, gen_params, scaler,
         hop_total=hop_total, frame_bucket=frame_bucket, streaming=streaming,
-        input_norm=input_norm, mesh=mesh,
+        input_norm=input_norm, mesh=mesh, sequence_parallel=sequence_parallel,
     )
 
 
@@ -463,23 +536,45 @@ def main() -> None:
              "reordering; disable for the canonical training layout).",
     )
     parser.add_argument(
+        "--num-devices", type=int, default=1,
+        help="Data-parallel mesh width (replicates this single-video run; "
+             "mainly for parity with m2s-serve — batch throughput scaling "
+             "lives in infer_batch/the daemon).",
+    )
+    parser.add_argument(
+        "--model-devices", type=int, default=1,
+        help="Shard the frame/time axis over an M-chip model axis "
+             "(sequence-parallel serving: single-video latency scales across "
+             "chips; outputs exact).",
+    )
+    parser.add_argument(
         "--profile-dir", default=None,
         help="Capture a TensorBoard-loadable profiler trace (device + host "
              "XPlane) of the timed inference pass into this directory.",
     )
     args = parser.parse_args()
 
+    if args.streaming and args.model_devices > 1:
+        parser.error("--streaming chunks the frame axis on the host; "
+                     "--model-devices shards it on the mesh — pick one")
+
     video_path = Path(args.video)
     if not video_path.exists():
         raise FileNotFoundError(f"Video file not found: {video_path}")
 
     frames = load_video_frames_for_inference(video_path, max_frames=args.max_frames)
+    mesh = None
+    if args.num_devices > 1 or args.model_devices > 1:
+        from mri2speech_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=args.num_devices, n_model=args.model_devices)
     pipeline = build_pipeline_from_checkpoints(
         args.mri_checkpoint, args.scaler_json, args.hifigan_config,
         args.hifigan_checkpoint, n_mels=args.n_mels, rnn_hidden=args.rnn_hidden,
         dropout=args.dropout, frame_bucket=args.frame_bucket,
         streaming=args.streaming, quantize=args.int8,
         stem_s2d=not args.no_stem_s2d, pad_ir=not args.no_pad_ir,
+        mesh=mesh, sequence_parallel=args.model_devices > 1,
     )
     with open(args.hifigan_config, "r", encoding="utf-8") as f:
         sr = json.load(f)["sampling_rate"]

@@ -500,6 +500,13 @@ def main() -> None:
         help="Shard request batches over an N-chip data-parallel mesh.",
     )
     parser.add_argument(
+        "--model-devices", type=int, default=1,
+        help="Additionally shard each request's frame/time axis over an "
+             "M-chip model axis (sequence-parallel serving: single-request "
+             "latency scales across chips, exact outputs). Total chips = "
+             "num-devices x model-devices.",
+    )
+    parser.add_argument(
         "--uint8", action="store_true",
         help="Accept raw uint8 frames and normalise on device "
              "(reference inference normalisation, 4x less request traffic).",
@@ -545,14 +552,19 @@ def main() -> None:
         from mri2speech_tpu.infer.pipeline import build_pipeline_from_checkpoints
 
         mesh = None
-        if args.num_devices > 1:
+        if args.num_devices > 1 or args.model_devices > 1:
             from mri2speech_tpu.parallel.mesh import make_mesh
 
-            mesh = make_mesh(n_data=args.num_devices)
+            mesh = make_mesh(n_data=args.num_devices, n_model=args.model_devices)
+        if args.online and args.model_devices > 1:
+            parser.error("--online sessions window the frame axis on the host "
+                         "already; --model-devices applies to batch dispatches "
+                         "(drop one of the two)")
         pipeline = build_pipeline_from_checkpoints(
             args.mri_checkpoint, args.scaler_json, args.hifigan_config,
             args.hifigan_checkpoint, frame_bucket=args.frame_bucket, mesh=mesh,
             input_norm="zscore_minmax" if args.uint8 else "none",
+            sequence_parallel=args.model_devices > 1,
         )
         with open(args.hifigan_config, "r", encoding="utf-8") as f:
             sr = json.load(f)["sampling_rate"]

@@ -142,6 +142,74 @@ def test_pipeline_mesh_sharded_batch(tiny_setup):
     )
 
 
+def test_pipeline_sequence_parallel(tiny_setup):
+    """Sequence-parallel serving (frame/time axis sharded over the mesh's
+    "model" axis; CNN frame-sharded, generator spatially partitioned with
+    GSPMD halo exchange, BiLSTM on the gathered features) is exact vs the
+    single-device pipeline — single-video, uint8-normalised, and composed
+    with the batch "data" axis on a 2D mesh."""
+    from mri2speech_tpu.parallel.mesh import make_mesh
+
+    acoustic, variables, gen, gen_params, scaler, h = tiny_setup
+    rng = np.random.default_rng(23)
+    mesh = make_mesh(2, 4)
+    pipe = VideoToSpeechPipeline(
+        acoustic, variables, gen, gen_params, scaler, frame_bucket=8
+    )
+    pipe_sp = VideoToSpeechPipeline(
+        acoustic, variables, gen, gen_params, scaler, frame_bucket=8,
+        mesh=mesh, sequence_parallel=True,
+    )
+
+    frames = rng.random((16, 64, 64)).astype(np.float32)
+    a_ref, m_ref, _ = pipe(frames)
+    a_sp, m_sp, _ = pipe_sp(frames)
+    np.testing.assert_allclose(a_sp, a_ref, atol=1e-6)
+    np.testing.assert_allclose(m_sp, m_ref, atol=1e-6)
+
+    # 2D: batch over "data" AND time over "model" in one program
+    videos = [rng.random((8, 64, 64)).astype(np.float32) for _ in range(4)]
+    a_refs, m_refs = pipe.infer_batch(videos)
+    a_sps, m_sps = pipe_sp.infer_batch(videos)
+    for ar, am, mr, mm in zip(a_refs, a_sps, m_refs, m_sps):
+        np.testing.assert_allclose(am, ar, atol=1e-6)
+        np.testing.assert_allclose(mm, mr, atol=1e-6)
+
+    # the on-device uint8 z-score->minmax normalisation runs frame-sharded
+    u8 = (rng.random((16, 64, 64)) * 255).astype(np.uint8)
+    pipe_u8 = VideoToSpeechPipeline(
+        acoustic, variables, gen, gen_params, scaler, frame_bucket=8,
+        input_norm="zscore_minmax",
+    )
+    pipe_u8_sp = VideoToSpeechPipeline(
+        acoustic, variables, gen, gen_params, scaler, frame_bucket=8,
+        input_norm="zscore_minmax", mesh=mesh, sequence_parallel=True,
+    )
+    np.testing.assert_allclose(
+        pipe_u8_sp.infer_audio(u8), pipe_u8.infer_audio(u8), atol=1e-6
+    )
+
+    # contract errors
+    with pytest.raises(ValueError, match="requires a mesh"):
+        VideoToSpeechPipeline(
+            acoustic, variables, gen, gen_params, scaler,
+            sequence_parallel=True,
+        )
+    with pytest.raises(ValueError, match="monolithic"):
+        VideoToSpeechPipeline(
+            acoustic, variables, gen, gen_params, scaler,
+            mesh=mesh, sequence_parallel=True, streaming=True,
+        )
+    with pytest.raises(ValueError, match="mesh"):
+        from jax.sharding import Mesh
+
+        VideoToSpeechPipeline(
+            acoustic, variables, gen, gen_params, scaler,
+            mesh=Mesh(np.array(jax.devices()), ("data",)),
+            sequence_parallel=True,
+        )
+
+
 def test_pipeline_streaming_matches_monolithic(tiny_setup):
     """Chunked-upload streaming mode is bit-identical to the fused dispatch
     (the CNN is frame-wise, so per-block evaluation is exact), and the

@@ -332,6 +332,56 @@ def test_daemon_over_mesh_pipeline():
         server.shutdown()
 
 
+def test_daemon_over_sequence_parallel_pipeline():
+    """The batching daemon composes with sequence-parallel serving (time axis
+    over "model", batch over "data" on a 2x4 mesh): per-request exact."""
+    from mri2speech_tpu.parallel.mesh import make_mesh
+
+    acoustic = AcousticModel(n_mels=64, rnn_hidden=16, cnn_spec=TINY_SPEC, cnn_stem=8)
+    variables = acoustic.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, 1, 32, 32)), train=False
+    )
+    h = dict(default_vocoder_config(upsample_initial_channel=32))
+    gen_wn = Generator(h=h)
+    params_wn = gen_wn.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 4)))["params"]
+    gen = Generator(h=h, use_weight_norm=False)
+    gen_params = fold_weight_norm(jax.device_get(params_wn))
+    scaler = MelScaler(
+        mean=np.linspace(-40, -10, 64).astype(np.float32),
+        std=np.full(64, 5.0, dtype=np.float32),
+    )
+    pipe_sp = VideoToSpeechPipeline(
+        acoustic, variables, gen, gen_params, scaler, frame_bucket=8,
+        mesh=make_mesh(2, 4), sequence_parallel=True,
+    )
+    pipe_solo = VideoToSpeechPipeline(
+        acoustic, variables, gen, gen_params, scaler, frame_bucket=8
+    )
+
+    rng = np.random.default_rng(43)
+    videos = [rng.random((8, 32, 32)).astype(np.float32) for _ in range(2)]
+    server = BatchingInferenceServer(
+        pipe_sp, max_batch=2, batch_window_ms=500.0, batch_multiple=2
+    )
+    try:
+        results = [None] * 2
+
+        def call(i):
+            results[i] = server.synthesize(videos[i], timeout=300)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        a_ref, m_ref = pipe_solo.infer_batch(videos, batch_multiple=2)
+        for i, (audio, mel, _n) in enumerate(results):
+            np.testing.assert_allclose(audio, a_ref[i], atol=1e-5)
+            np.testing.assert_allclose(mel, m_ref[i], atol=1e-5)
+    finally:
+        server.shutdown()
+
+
 def test_metrics_endpoint(tiny_pipeline):
     """GET /metrics: Prometheus text format with consistent counters and a
     cumulative latency histogram that accounts for every request."""
