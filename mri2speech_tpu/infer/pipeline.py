@@ -82,7 +82,8 @@ class VideoToSpeechPipeline:
           sharding is embarrassingly parallel; the generator's time-axis convs
           run spatially partitioned (GSPMD inserts the halo exchanges); only
           the BiLSTM runs on the gathered (tiny, T x C) feature sequence.
-          Outputs are exact vs the single-device run. The TPU-native
+          Outputs match the single-device run to float tolerance (mel exact;
+          audio within ~1e-8 — conv halo reassociation). The TPU-native
           single-video scaling mode — the reference has no analogue (one GPU
           per video, `run_mri_video_inference.py:203-255`). Composes with the
           batch "data" axis: `infer_batch` on a (data, model) mesh shards
@@ -235,20 +236,35 @@ class VideoToSpeechPipeline:
         audio = self.generator.apply({"params": generator_params}, x)
         return audio, mel_db, mel_log
 
-    def _put_input(self, x):
+    def _put_input(self, x, time_axis: int | None = None):
         """device_put an input array consistently with the params' placement.
 
         On a mesh pipeline the params live replicated across the mesh; a
         batch-1 input on the default device alone would make jit raise
-        "incompatible devices", so single-video inputs are replicated too
+        "incompatible devices", so batch-1 inputs replicate over "data"
         (GSPMD then runs the batch-1 program redundantly on every chip —
-        correct, and the mesh exists for `infer_batch` throughput anyway).
+        correct, and the mesh exists for `infer_batch` throughput anyway),
+        while batched inputs shard their batch dim over "data".
+
+        In sequence-parallel mode the TIME axis additionally uploads sharded
+        over "model" (when divisible): each chip receives only its 1/M slice
+        of the frames. Uploading replicated and resharding inside the jit
+        would multiply the host->device bytes by the mesh size — on the
+        link-bound serving path (BENCH_NOTES: the 33.5 MB upload IS the e2e
+        budget) that would erase exactly the latency the mode exists to win.
         """
         if self.mesh is None:
             return jax.device_put(x)
-        from mri2speech_tpu.parallel.mesh import replicated_sharding
-
-        return jax.device_put(np.asarray(x), replicated_sharding(self.mesh))
+        x = np.asarray(x)
+        spec = [None] * x.ndim
+        spec[0] = self._batch_axis_name(x.shape[0])
+        if (
+            self.sequence_parallel
+            and time_axis is not None
+            and x.shape[time_axis] % self.mesh.shape["model"] == 0
+        ):
+            spec[time_axis] = "model"
+        return jax.device_put(x, self._seq_sharding(*spec))
 
     def _run_device(self, frames: np.ndarray):
         """Dispatch the full pipeline; returns device arrays (audio, mels)."""
@@ -256,7 +272,7 @@ class VideoToSpeechPipeline:
         if not self.streaming:
             return self._fn(
                 self.acoustic_variables, self.generator_params,
-                self._put_input(f), self._put_input(mask),
+                self._put_input(f, time_axis=1), self._put_input(mask, time_axis=1),
             )
         Tc = self.frame_bucket
         n_blocks = f.shape[1] // Tc
@@ -334,9 +350,10 @@ class VideoToSpeechPipeline:
             mb[i, : Ts[i]] = 1.0
         fb[len(videos):] = fb[len(videos) - 1]
         if self.mesh is not None:
-            from mri2speech_tpu.parallel.mesh import shard_batch
-
-            fb, mb = shard_batch((fb, mb), self.mesh)
+            # batch over "data"; in sequence-parallel mode time additionally
+            # uploads sharded over "model" (see _put_input)
+            fb = self._put_input(fb, time_axis=1)
+            mb = self._put_input(mb, time_axis=1)
         else:
             fb, mb = jnp.asarray(fb), jnp.asarray(mb)
         audio, mel_db, _ = self._fn(

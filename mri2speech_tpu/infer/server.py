@@ -551,15 +551,18 @@ def main() -> None:
             )
         from mri2speech_tpu.infer.pipeline import build_pipeline_from_checkpoints
 
+        if args.online and args.model_devices > 1:
+            # before make_mesh: on a small host the mesh construction would
+            # otherwise raise a device-count traceback that hides the real
+            # flag conflict
+            parser.error("--online sessions window the frame axis on the host "
+                         "already; --model-devices applies to batch dispatches "
+                         "(drop one of the two)")
         mesh = None
         if args.num_devices > 1 or args.model_devices > 1:
             from mri2speech_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh(n_data=args.num_devices, n_model=args.model_devices)
-        if args.online and args.model_devices > 1:
-            parser.error("--online sessions window the frame axis on the host "
-                         "already; --model-devices applies to batch dispatches "
-                         "(drop one of the two)")
         pipeline = build_pipeline_from_checkpoints(
             args.mri_checkpoint, args.scaler_json, args.hifigan_config,
             args.hifigan_checkpoint, frame_bucket=args.frame_bucket, mesh=mesh,

@@ -167,6 +167,15 @@ def test_pipeline_sequence_parallel(tiny_setup):
     np.testing.assert_allclose(a_sp, a_ref, atol=1e-6)
     np.testing.assert_allclose(m_sp, m_ref, atol=1e-6)
 
+    # non-bucket length: Tp=16 > T=10, so zero-masked replicate-pad frames
+    # land mid-shard on the model=4 time axis (the common production case —
+    # pad boundary splitting a shard, masked BiLSTM under uneven validity)
+    frames10 = rng.random((10, 64, 64)).astype(np.float32)
+    a_ref10, m_ref10, _ = pipe(frames10)
+    a_sp10, m_sp10, _ = pipe_sp(frames10)
+    np.testing.assert_allclose(a_sp10, a_ref10, atol=1e-6)
+    np.testing.assert_allclose(m_sp10, m_ref10, atol=1e-6)
+
     # 2D: batch over "data" AND time over "model" in one program
     videos = [rng.random((8, 64, 64)).astype(np.float32) for _ in range(4)]
     a_refs, m_refs = pipe.infer_batch(videos)

@@ -32,8 +32,9 @@ TINY_SPEC = (
 )
 
 
-@pytest.fixture(scope="module")
-def tiny_pipeline():
+def _tiny_stack():
+    """One construction site for the tiny model stack every daemon test
+    builds pipelines from (fixture + the mesh/sequence-parallel variants)."""
     acoustic = AcousticModel(n_mels=64, rnn_hidden=16, cnn_spec=TINY_SPEC, cnn_stem=8)
     variables = acoustic.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 2, 1, 32, 32)), train=False
@@ -47,6 +48,12 @@ def tiny_pipeline():
         mean=np.linspace(-40, -10, 64).astype(np.float32),
         std=np.full(64, 5.0, dtype=np.float32),
     )
+    return acoustic, variables, gen, gen_params, scaler
+
+
+@pytest.fixture(scope="module")
+def tiny_pipeline():
+    acoustic, variables, gen, gen_params, scaler = _tiny_stack()
     return VideoToSpeechPipeline(
         acoustic, variables, gen, gen_params, scaler, frame_bucket=8
     )
@@ -284,19 +291,7 @@ def test_daemon_over_mesh_pipeline():
     from mri2speech_tpu.parallel.mesh import make_mesh
 
     # rebuild the tiny stack on a mesh (params replicated, batch sharded)
-    acoustic = AcousticModel(n_mels=64, rnn_hidden=16, cnn_spec=TINY_SPEC, cnn_stem=8)
-    variables = acoustic.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 2, 1, 32, 32)), train=False
-    )
-    h = dict(default_vocoder_config(upsample_initial_channel=32))
-    gen_wn = Generator(h=h)
-    params_wn = gen_wn.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 4)))["params"]
-    gen = Generator(h=h, use_weight_norm=False)
-    gen_params = fold_weight_norm(jax.device_get(params_wn))
-    scaler = MelScaler(
-        mean=np.linspace(-40, -10, 64).astype(np.float32),
-        std=np.full(64, 5.0, dtype=np.float32),
-    )
+    acoustic, variables, gen, gen_params, scaler = _tiny_stack()
     mesh = make_mesh(n_data=8)
     pipe_mesh = VideoToSpeechPipeline(
         acoustic, variables, gen, gen_params, scaler, frame_bucket=8, mesh=mesh
@@ -334,22 +329,11 @@ def test_daemon_over_mesh_pipeline():
 
 def test_daemon_over_sequence_parallel_pipeline():
     """The batching daemon composes with sequence-parallel serving (time axis
-    over "model", batch over "data" on a 2x4 mesh): per-request exact."""
+    over "model", batch over "data" on a 2x4 mesh): the two requests coalesce
+    into ONE B=2 sequence-parallel dispatch and stay per-request exact."""
     from mri2speech_tpu.parallel.mesh import make_mesh
 
-    acoustic = AcousticModel(n_mels=64, rnn_hidden=16, cnn_spec=TINY_SPEC, cnn_stem=8)
-    variables = acoustic.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 2, 1, 32, 32)), train=False
-    )
-    h = dict(default_vocoder_config(upsample_initial_channel=32))
-    gen_wn = Generator(h=h)
-    params_wn = gen_wn.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 4)))["params"]
-    gen = Generator(h=h, use_weight_norm=False)
-    gen_params = fold_weight_norm(jax.device_get(params_wn))
-    scaler = MelScaler(
-        mean=np.linspace(-40, -10, 64).astype(np.float32),
-        std=np.full(64, 5.0, dtype=np.float32),
-    )
+    acoustic, variables, gen, gen_params, scaler = _tiny_stack()
     pipe_sp = VideoToSpeechPipeline(
         acoustic, variables, gen, gen_params, scaler, frame_bucket=8,
         mesh=make_mesh(2, 4), sequence_parallel=True,
@@ -360,8 +344,11 @@ def test_daemon_over_sequence_parallel_pipeline():
 
     rng = np.random.default_rng(43)
     videos = [rng.random((8, 32, 32)).astype(np.float32) for _ in range(2)]
+    # warm the (2, Tp) program so the batching window isn't consumed by a
+    # multi-second CPU compile before the second request can arrive
+    pipe_sp.infer_batch(videos, batch_multiple=2)
     server = BatchingInferenceServer(
-        pipe_sp, max_batch=2, batch_window_ms=500.0, batch_multiple=2
+        pipe_sp, max_batch=2, batch_window_ms=2000.0, batch_multiple=2
     )
     try:
         results = [None] * 2
@@ -378,6 +365,9 @@ def test_daemon_over_sequence_parallel_pipeline():
         for i, (audio, mel, _n) in enumerate(results):
             np.testing.assert_allclose(audio, a_ref[i], atol=1e-5)
             np.testing.assert_allclose(mel, m_ref[i], atol=1e-5)
+        # prove the composition actually happened: both requests in one
+        # sequence-parallel batch, not two padded batch-of-1 dispatches
+        assert server.stats()["batches_dispatched"] == 1
     finally:
         server.shutdown()
 
