@@ -123,6 +123,19 @@ class VideoToSpeechPipeline:
         self.std = jnp.asarray(scaler.std)
         self.hop_total = hop_total
         self.frame_bucket = max(1, int(frame_bucket))
+        # In sequence-parallel mode the padded frame count must divide the
+        # mesh "model" axis, or `_put_input` falls back to replicating the
+        # full frame upload to every model chip — M x the bytes on the
+        # link-bound serving path, erasing exactly the latency the mode
+        # exists to win. Pad time to lcm(frame_bucket, M) so every request
+        # shards (the extra frames are masked replicate-pad, same contract
+        # as bucket padding).
+        self._time_multiple = self.frame_bucket
+        if self.sequence_parallel:
+            m = int(mesh.shape["model"])
+            self._time_multiple = (
+                self.frame_bucket * m // int(np.gcd(self.frame_bucket, m))
+            )
         self.input_norm = input_norm
         self.streaming = streaming
         self._fn = jax.jit(self._forward)
@@ -258,12 +271,23 @@ class VideoToSpeechPipeline:
         x = np.asarray(x)
         spec = [None] * x.ndim
         spec[0] = self._batch_axis_name(x.shape[0])
-        if (
-            self.sequence_parallel
-            and time_axis is not None
-            and x.shape[time_axis] % self.mesh.shape["model"] == 0
-        ):
-            spec[time_axis] = "model"
+        if self.sequence_parallel and time_axis is not None:
+            m = int(self.mesh.shape["model"])
+            if x.shape[time_axis] % m == 0:
+                spec[time_axis] = "model"
+            else:
+                # Unreachable through the product paths (prepare_inputs /
+                # infer_batch pad time to a model-axis multiple); surface it
+                # loudly if a caller bypasses them.
+                import warnings
+
+                warnings.warn(
+                    f"sequence-parallel input with time dim "
+                    f"{x.shape[time_axis]} not divisible by model={m}: "
+                    f"uploading replicated ({m}x the host->device bytes)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         return jax.device_put(x, self._seq_sharding(*spec))
 
     def _run_device(self, frames: np.ndarray):
@@ -329,7 +353,8 @@ class VideoToSpeechPipeline:
             return [], []
         Ts = [int(v.shape[0]) for v in videos]
         hw = videos[0].shape[1:]
-        Tp = ((max(Ts) + self.frame_bucket - 1) // self.frame_bucket) * self.frame_bucket
+        tm = self._time_multiple
+        Tp = ((max(Ts) + tm - 1) // tm) * tm
         bm = max(1, int(batch_multiple))
         if self.mesh is not None:
             nd = self.mesh.shape["data"]
@@ -337,7 +362,14 @@ class VideoToSpeechPipeline:
         # dummy rows replicate the last video's frames but carry an all-zero
         # mask; inference is per-sample, so real rows are unaffected
         B = ((len(videos) + bm - 1) // bm) * bm
-        fb = np.empty((B, Tp, 1) + hw, dtype=videos[0].dtype)
+        # Mixed-dtype batches promote (uint8 + float32 -> float32) instead of
+        # silently truncating into videos[0]'s dtype — under "zscore_minmax"
+        # the cast is EXACT (the per-frame z-score is affine-invariant, so
+        # raw uint8 [0,255] and float [0,1] frames normalise identically).
+        dt = videos[0].dtype
+        if any(v.dtype != dt for v in videos):
+            dt = np.result_type(*[v.dtype for v in videos])
+        fb = np.empty((B, Tp, 1) + hw, dtype=dt)
         mb = np.zeros((B, Tp), dtype=np.float32)
         for i, v in enumerate(videos):
             if v.shape[1:] != hw:
@@ -375,7 +407,8 @@ class VideoToSpeechPipeline:
         view — no 30 MB host memcpy on the hot serving path.
         """
         T = frames.shape[0]
-        Tp = ((T + self.frame_bucket - 1) // self.frame_bucket) * self.frame_bucket
+        tm = self._time_multiple
+        Tp = ((T + tm - 1) // tm) * tm
         if Tp == T:
             f = frames.reshape(1, T, 1, *frames.shape[1:])  # view, no copy
         else:
@@ -562,7 +595,7 @@ def main() -> None:
         "--model-devices", type=int, default=1,
         help="Shard the frame/time axis over an M-chip model axis "
              "(sequence-parallel serving: single-video latency scales across "
-             "chips; outputs exact).",
+             "chips; mel exact, audio within ~1e-8 of single-device).",
     )
     parser.add_argument(
         "--profile-dir", default=None,

@@ -503,8 +503,8 @@ def main() -> None:
         "--model-devices", type=int, default=1,
         help="Additionally shard each request's frame/time axis over an "
              "M-chip model axis (sequence-parallel serving: single-request "
-             "latency scales across chips, exact outputs). Total chips = "
-             "num-devices x model-devices.",
+             "latency scales across chips; mel exact, audio within ~1e-8 of "
+             "single-device). Total chips = num-devices x model-devices.",
     )
     parser.add_argument(
         "--uint8", action="store_true",

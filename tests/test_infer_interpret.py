@@ -219,6 +219,85 @@ def test_pipeline_sequence_parallel(tiny_setup):
         )
 
 
+def test_pipeline_sequence_parallel_indivisible_bucket(tiny_setup):
+    """frame_bucket not divisible by the model axis: time pads up to
+    lcm(bucket, M) so the frame upload still SHARDS over "model" instead of
+    silently replicating M x the bytes over the link (the regression mode
+    `_put_input`'s divisibility fallback would otherwise hit on every
+    request), and outputs stay exact vs single-device."""
+    from mri2speech_tpu.parallel.mesh import make_mesh
+
+    acoustic, variables, gen, gen_params, scaler, h = tiny_setup
+    rng = np.random.default_rng(31)
+    mesh = make_mesh(2, 4)
+    pipe = VideoToSpeechPipeline(
+        acoustic, variables, gen, gen_params, scaler, frame_bucket=6
+    )
+    pipe_sp = VideoToSpeechPipeline(
+        acoustic, variables, gen, gen_params, scaler, frame_bucket=6,
+        mesh=mesh, sequence_parallel=True,
+    )
+    assert pipe_sp._time_multiple == 12  # lcm(6, 4)
+
+    frames = rng.random((10, 64, 64)).astype(np.float32)
+    f, mask = pipe_sp.prepare_inputs(frames)
+    assert f.shape[1] % 4 == 0
+    put = pipe_sp._put_input(f, time_axis=1)
+    assert put.sharding.spec[1] == "model"  # genuinely time-sharded upload
+
+    # both pipelines pad T=10 -> 12 here, so audio is comparable end-to-end
+    a_ref, m_ref, _ = pipe(frames)
+    a_sp, m_sp, _ = pipe_sp(frames)
+    np.testing.assert_allclose(m_sp, m_ref, atol=1e-6)
+    np.testing.assert_allclose(a_sp, a_ref, atol=1e-6)
+
+    # exact per-length mode (bucket=1): seq-parallel pads 10 -> 12 while the
+    # single-device run stays at 10 — mels at valid frames are mask-exact
+    pipe1 = VideoToSpeechPipeline(
+        acoustic, variables, gen, gen_params, scaler, frame_bucket=1
+    )
+    pipe1_sp = VideoToSpeechPipeline(
+        acoustic, variables, gen, gen_params, scaler, frame_bucket=1,
+        mesh=mesh, sequence_parallel=True,
+    )
+    assert pipe1_sp._time_multiple == 4
+    a1, m1, _ = pipe1(frames)
+    a1_sp, m1_sp, _ = pipe1_sp(frames)
+    np.testing.assert_allclose(m1_sp, m1, atol=1e-6)
+    assert a1_sp.shape == a1.shape  # trimmed to T*hop despite the pad
+
+    # bypassing the product paths with a non-divisible time dim warns
+    import warnings as _warnings
+
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        pipe1_sp._put_input(np.zeros((1, 10, 1, 64, 64), np.float32), time_axis=1)
+    assert any("not divisible" in str(w.message) for w in rec)
+
+
+def test_infer_batch_mixed_dtype_promotes(tiny_setup):
+    """uint8 and float32 frames co-batched under "zscore_minmax" promote the
+    batch buffer to float32 — exact, since the per-frame z-score is
+    affine-invariant — instead of truncating the float frames into a uint8
+    buffer (garbage audio behind an HTTP 200 through the daemon)."""
+    acoustic, variables, gen, gen_params, scaler, h = tiny_setup
+    rng = np.random.default_rng(37)
+    pipe = VideoToSpeechPipeline(
+        acoustic, variables, gen, gen_params, scaler, frame_bucket=8,
+        input_norm="zscore_minmax",
+    )
+    v8 = (rng.random((8, 64, 64)) * 255).astype(np.uint8)
+    vf = rng.random((8, 64, 64)).astype(np.float32)
+
+    a_mixed, m_mixed = pipe.infer_batch([v8, vf])
+    (a8,), (m8,) = pipe.infer_batch([v8])
+    (af,), (mf,) = pipe.infer_batch([vf])
+    np.testing.assert_allclose(m_mixed[0], m8, atol=1e-6)
+    np.testing.assert_allclose(m_mixed[1], mf, atol=1e-6)
+    np.testing.assert_allclose(a_mixed[0], a8, atol=1e-6)
+    np.testing.assert_allclose(a_mixed[1], af, atol=1e-6)
+
+
 def test_pipeline_streaming_matches_monolithic(tiny_setup):
     """Chunked-upload streaming mode is bit-identical to the fused dispatch
     (the CNN is frame-wise, so per-block evaluation is exact), and the

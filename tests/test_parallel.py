@@ -137,6 +137,46 @@ def test_vocoder_trainer_rejects_indivisible_batch():
         VocoderTrainer(h, mesh=make_mesh(8, 1))
 
 
+def test_prepare_dryrun_cache_generations(tmp_path):
+    """AOT-cache staleness protocol: a pre-existing dir WITHOUT a generation
+    marker is wiped (its entries predate the canary mechanism and were never
+    feature-checked — a fresh canary compile would vacuously approve them);
+    a marked dir with a passing canary keeps its entries; a failing canary
+    wipes regardless."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry_cache", Path(__file__).resolve().parents[1] / "__graft_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    d = tmp_path / "cache"
+    marker = d / ".canary_generation"
+
+    # fresh dir: seeded + marked
+    m._prepare_dryrun_cache(str(d), canary=lambda _d: True)
+    assert marker.exists()
+
+    # marked dir, passing canary: entries survive
+    (d / "entry.bin").write_bytes(b"x")
+    m._prepare_dryrun_cache(str(d), canary=lambda _d: True)
+    assert (d / "entry.bin").exists()
+
+    # unmarked pre-existing dir (predates the mechanism): wiped + re-marked
+    marker.unlink()
+    m._prepare_dryrun_cache(str(d), canary=lambda _d: True)
+    assert not (d / "entry.bin").exists()
+    assert marker.exists()
+
+    # failing canary: wiped even though marked
+    (d / "entry2.bin").write_bytes(b"x")
+    m._prepare_dryrun_cache(str(d), canary=lambda _d: False)
+    assert not (d / "entry2.bin").exists()
+    assert marker.exists()
+
+
 def test_graft_entry_dryrun_8_devices(monkeypatch):
     import importlib.util
     from pathlib import Path
