@@ -124,6 +124,18 @@ class FixedLenPairDataset:
                     raise ValueError("unexpected ndim")
                 n_pairs, T = int(mri.shape[0]), int(mri.shape[1])
                 del mri
+                # the fast-path gather trusts these shapes (no per-row
+                # validation, native memcpy has no bounds check) — a
+                # truncated mel/mask write must be caught HERE, not read
+                # out-of-bounds at training time
+                for k in ("mel", "mask"):
+                    arr = np.load(triplet[k], mmap_mode="r", allow_pickle=False)
+                    if int(arr.shape[0]) != n_pairs:
+                        raise ValueError(
+                            f"{k}.npy has {arr.shape[0]} rows, mri.npy has "
+                            f"{n_pairs}"
+                        )
+                    del arr
             except Exception as exc:
                 if not self.allow_broken_skip:
                     raise
@@ -352,18 +364,45 @@ class BatchLoader:
 
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()  # consumer gone: unblock + kill the worker
+        error: list = [None]
+
+        def _put(item) -> bool:
+            """Bounded put that aborts when the consumer stopped iterating
+            (max_train_steps / early-stop / preemption breaks abandon the
+            generator — without this the worker blocks on a full queue
+            forever, leaking a thread + pinned batches per epoch and
+            contending with the next timed step on this 1-core host)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for b in batches:
-                    q.put(self.dataset.gather_batch(b))
+                    if not _put(self.dataset.gather_batch(b)):
+                        return
+            except BaseException as exc:  # propagate into the consumer
+                error[0] = exc
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+            if error[0] is not None:
+                # a gather error with prefetch=0 would propagate; make the
+                # threaded path behave identically instead of silently
+                # truncating the epoch
+                raise error[0]
+        finally:
+            stop.set()

@@ -43,9 +43,14 @@ def _jitted_mel_db(sr, n_mels, n_fft, win_length, hop_length, fmin, fmax, preemp
 
     @jax.jit
     def f(y):
+        # top_db=None: the floor is max-relative and the device sees PADDED
+        # frames — a boundary pad frame can exceed the true-frame max and the
+        # host-side re-floor can only RAISE values. Apply it host-side on the
+        # trimmed frames instead (compute_mel_db_host).
         return compute_mel_db(
             y, sr, n_mels=n_mels, n_fft=n_fft, win_length=win_length,
             hop_length=hop_length, fmin=fmin, fmax=fmax, preemph=preemph,
+            top_db=None,
         )
 
     return f
@@ -67,8 +72,10 @@ def compute_mel_db_host(
 
     Zero-pads to a length bucket (frames are center=False windows over real
     samples only, so padding cannot change the kept frames) — EXCEPT the
-    top_db=80 floor, which depends on the global max; the floor is therefore
-    re-applied host-side on the unpadded frame set for exact librosa semantics.
+    top_db=80 floor, which depends on the global max: a boundary-straddling
+    pad frame can exceed the true-frame max, so the device computes WITHOUT
+    the floor and it is applied host-side on the unpadded frame set for
+    exact librosa semantics.
     """
     if y.size < n_fft:
         return np.zeros((0, n_mels), dtype=np.float32)
@@ -197,15 +204,27 @@ def run_preprocess(args: argparse.Namespace) -> None:
     audio_required = args.audio_dir is not None
 
     def read_audio(stem: str) -> Optional[np.ndarray]:
+        sources = []
         if stem in audios:
-            y, _ = audio_io.read_audio_from_wav(audios[stem], target_sr=args.sr)
-            return y
+            sources.append(lambda: audio_io.read_audio_from_wav(audios[stem], target_sr=args.sr))
         if not audio_required and stem in videos:
-            y, _ = audio_io.read_audio_from_video(videos[stem], target_sr=args.sr)
+            sources.append(lambda: audio_io.read_audio_from_video(videos[stem], target_sr=args.sr))
+        if not getattr(args, "prefer_wav", True):
+            sources.reverse()  # --no_prefer_wav: video track first
+        if sources:
+            y, _ = sources[0]()
             return y
         if audio_required:
             print(f"  [WARN] audio file missing for {stem}; skipping")
         return None
+
+    # decode+resample each utterance ONCE: Pass 1 caches the arrays Pass 2
+    # consumes (popped as used). Decode+polyphase-resample is the most
+    # expensive host work on this 1-core machine; the budget bounds memory
+    # for very large corpora (~6h of 11.4 kHz float32 per GiB)
+    audio_cache: dict = {}
+    cache_budget = 2 << 30
+    cache_bytes = 0
 
     print("Pass1: compute global audio peak")
     global_absmax = 0.0
@@ -214,6 +233,9 @@ def run_preprocess(args: argparse.Namespace) -> None:
         if y is None or y.size == 0:
             continue
         global_absmax = max(global_absmax, float(np.max(np.abs(y))))
+        if cache_bytes + y.nbytes <= cache_budget:
+            audio_cache[stem] = y
+            cache_bytes += y.nbytes
     if global_absmax <= 0:
         global_absmax = 1.0
     print(f"  global_absmax = {global_absmax:.6f}")
@@ -226,7 +248,9 @@ def run_preprocess(args: argparse.Namespace) -> None:
         mri = audio_io.read_video_frames(videos[stem], resize_hw=(args.resize_h, args.resize_w))
         if mri.size == 0:
             continue
-        y = read_audio(stem)
+        y = audio_cache.pop(stem, None)
+        if y is None:
+            y = read_audio(stem)
         if y is None or y.size == 0:
             continue
         y = y / global_absmax

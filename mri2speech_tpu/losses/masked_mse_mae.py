@@ -70,11 +70,19 @@ def masked_mse_mae_loss(
     num_mels: int = 64,
     max_frames: int = 128,
     ramp_steps: int = 120_000,
+    row_valid: Optional[Array] = None,
 ) -> Tuple[Array, Array, Array]:
     """pred/target: (B, T, M); mask: (B, T) with 1=valid, or None.
 
     Returns (total_loss, weighted_mse, weighted_mae) — mse/mae are the detached
     diagnostics of the reference (`train_mri_acoustic_model.py:129-130,167`).
+
+    row_valid: optional (B,) 0/1 batch-row validity. The reference never pads
+    batch rows (its uneven micro-batches just run smaller,
+    `train_mri_acoustic_model.py:255-261`); a `lax.scan` over micro-batches
+    needs static shapes, so padded rows are marked invalid here and dropped
+    from EVERY term — including the otherwise-unmasked last-frame auxiliary —
+    reproducing the reference's smaller-final-micro math exactly.
     """
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
@@ -86,15 +94,27 @@ def masked_mse_mae_loss(
     )
 
     fb, ft = _freq_weights(num_mels)
-    tb, tt = _time_weights(max_frames)
+    # frames past `max_frames` weight 1.0 (only the first 8 entries differ);
+    # the reference's fixed-length buffer would crash on T > max_frames
+    # (`train_mri_acoustic_model.py:87-92,120-121`) — extended here instead
+    tb, tt = _time_weights(max(max_frames, T))
     freq_w = ((1.0 - ramp) * fb[:M] + ramp * ft[:M]).reshape(1, 1, M)
     time_vec = (1.0 - ramp) * tb[:T] + ramp * tt[:T]
     time_w = time_vec.reshape(1, T, 1)
     weights = jnp.broadcast_to(freq_w * time_w, (B, T, M))
 
+    rv = None
+    if row_valid is not None:
+        rv = row_valid.astype(jnp.float32).reshape(B, 1, 1)
+
     diff = pred - target
     if mask is not None:
         mask = mask.astype(jnp.float32)[..., None]  # (B, T, 1)
+        if rv is not None:
+            mask = mask * rv
+        weights = weights * mask
+    elif rv is not None:
+        mask = jnp.broadcast_to(rv, (B, T, 1))
         weights = weights * mask
     denom_base = jnp.maximum(weights.sum(), 1e-6)
     mse = jnp.sum(diff ** 2 * weights) / denom_base
@@ -120,9 +140,12 @@ def masked_mse_mae_loss(
     else:
         accel_loss = jnp.float32(0.0)
 
-    # last-frame auxiliary MSE (unmasked, like the reference)
+    # last-frame auxiliary MSE (time-unmasked, like the reference; padded
+    # batch rows still drop out via row_valid)
     latest_diff = diff[:, -1, :]
     latest_w = jnp.broadcast_to(freq_w[:, -1:, :], (B, 1, M))
+    if rv is not None:
+        latest_w = latest_w * rv
     latest_loss = jnp.sum(latest_diff ** 2 * latest_w[:, 0, :]) / jnp.maximum(
         latest_w.sum(), 1e-6
     )
@@ -160,15 +183,29 @@ class MaskedMSEMAE:
         )
 
 
-def compute_band_mae(pred: Array, target: Array) -> Dict[str, Array]:
-    """Unmasked per-band MAE diagnostics (`train_mri_acoustic_model.py:263-277`)."""
+def compute_band_mae(
+    pred: Array, target: Array, row_valid: Optional[Array] = None
+) -> Dict[str, Array]:
+    """Unmasked per-band MAE diagnostics (`train_mri_acoustic_model.py:263-277`).
+
+    row_valid: optional (B,) 0/1 — rows padded into a micro-batch (see
+    masked_mse_mae_loss) are excluded from the diagnostic means.
+    """
     out: Dict[str, Array] = {}
     M = pred.shape[-1]
     p = pred.astype(jnp.float32)
     t = target.astype(jnp.float32)
+    rv = None
+    if row_valid is not None:
+        rv = row_valid.astype(jnp.float32).reshape(pred.shape[0], 1, 1)
     for name, (start, end) in BAND_RANGES.items():
         end = min(end, M)
         if end <= start:
             continue
-        out[name] = jnp.mean(jnp.abs(p[..., start:end] - t[..., start:end]))
+        ad = jnp.abs(p[..., start:end] - t[..., start:end])
+        if rv is None:
+            out[name] = jnp.mean(ad)
+        else:
+            n = jnp.maximum(rv.sum() * ad.shape[1] * ad.shape[2], 1e-6)
+            out[name] = jnp.sum(ad * rv) / n
     return out

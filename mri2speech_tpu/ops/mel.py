@@ -308,11 +308,18 @@ def compute_mel_db(
     fmax: Optional[float] = None,
     preemph: float = 0.97,
     method: str = "auto",
+    top_db: Optional[float] = 80.0,
 ) -> Array:
     """Preprocessing mel: (L,) -> (T, n_mels) dB, `preprocess_rtmri_data.py:121-147`.
 
     Pre-emphasis -> power-2 mel (center=False, NO padding -> T = 1+(L-n_fft)//hop)
     -> power_to_db(ref=1.0, top_db=80). Output float32, time-major.
+
+    top_db=None skips the global-max floor — callers that evaluate over a
+    PADDED frame set (data/preprocess.py `compute_mel_db_host`) must apply it
+    host-side over the true frames only: the floor depends on the array max,
+    and a boundary-straddling pad frame can exceed the true-frame max, which
+    would over-clip quiet frames irreversibly.
     """
     y = pre_emphasis(y, coef=preemph)
     spec = stft_magnitude(
@@ -321,7 +328,7 @@ def compute_mel_db(
     power = spec * spec
     fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
     mel = jnp.matmul(fb, power, precision=_HIGHEST)
-    mel_db = power_to_db(mel, ref=1.0)
+    mel_db = power_to_db(mel, ref=1.0, top_db=top_db)
     return jnp.swapaxes(mel_db, -1, -2).astype(jnp.float32)
 
 

@@ -71,17 +71,35 @@ class AcousticTrainerConfig:
     use_orbax: Optional[bool] = None
 
 
-def _reshape_micro(batch: Dict[str, np.ndarray], micro_bs: int) -> Dict[str, np.ndarray]:
-    """(B, ...) -> (n_micro, mbs, ...); B must divide evenly (drop_last batches do)."""
+def _reshape_micro(
+    batch: Dict[str, np.ndarray], micro_bs: int, *, fixed_mbs: bool = False
+) -> Dict[str, np.ndarray]:
+    """(B, ...) -> (n_micro, mbs, ...) plus a (n_micro, mbs) `row_valid` mask.
+
+    The reference slices uneven batches into a smaller final micro-batch
+    (`train_mri_acoustic_model.py:255-261`); `lax.scan` needs static shapes,
+    so uneven batches are instead padded with duplicated samples that are
+    marked INVALID in `row_valid` — the loss and band diagnostics drop them
+    from every term (`masked_mse_mae_loss(row_valid=...)`), reproducing the
+    reference's uneven-slice math. (The duplicates still pass through the
+    CNN, keeping BatchNorm statistics in-distribution.)
+
+    fixed_mbs: never shrink mbs below micro_bs — mesh trainers need the
+    micro batch axis to stay divisible by the mesh data axis, which the
+    constructor validated `micro_batch_size` (not `min(micro_bs, B)`) for.
+    """
     B = batch["mri"].shape[0]
-    mbs = min(micro_bs, B)
+    mbs = micro_bs if fixed_mbs else min(micro_bs, B)
+    out = dict(batch)
+    row_valid = np.ones(B, dtype=np.float32)
     if B % mbs != 0:
-        # replicate the trailing samples up to a full micro-batch (masked anyway
-        # by the mean-of-micro-losses semantics being denominator-correct)
         pad = mbs - (B % mbs)
-        batch = {k: np.concatenate([v, v[:pad]], axis=0) for k, v in batch.items()}
-        B = B + pad
-    return {k: v.reshape(B // mbs, mbs, *v.shape[1:]) for k, v in batch.items()}
+        pad_idx = np.arange(pad) % B  # content irrelevant (row_valid masks it)
+        out = {k: np.concatenate([v, v[pad_idx]], axis=0) for k, v in out.items()}
+        row_valid = np.concatenate([row_valid, np.zeros(pad, dtype=np.float32)])
+        B += pad
+    out["row_valid"] = row_valid
+    return {k: v.reshape(B // mbs, mbs, *v.shape[1:]) for k, v in out.items()}
 
 
 class AcousticTrainer:
@@ -206,11 +224,12 @@ class AcousticTrainer:
                     mutable=["batch_stats"],
                     rngs={"dropout": mb_rng},
                 )
+                rv = mb.get("row_valid")
                 loss, mse, mae = masked_mse_mae_loss(
                     out, mb["mel"], mb["mask"], state.global_step.astype(jnp.float32),
-                    ramp_steps=ramp_steps,
+                    ramp_steps=ramp_steps, row_valid=rv,
                 )
-                bands = compute_band_mae(out, mb["mel"])
+                bands = compute_band_mae(out, mb["mel"], row_valid=rv)
                 return loss / n_micro, (updates["batch_stats"], mse, mae, bands)
 
             (l, (new_bstats, mse, mae, bands)), grads = jax.value_and_grad(
@@ -284,15 +303,22 @@ class AcousticTrainer:
         for i, batch in enumerate(loader):
             if i >= limit:
                 break
-            micro = self._put_micro(_reshape_micro(batch, self.cfg.micro_batch_size))
+            micro = self._put_micro(_reshape_micro(
+                batch, self.cfg.micro_batch_size, fixed_mbs=self.mesh is not None
+            ))
             rng = jax.random.fold_in(rng_epoch, i)
             with self.step_timer.step():
                 state, metrics = self._train_step(
                     state, micro, jnp.float32(self.sched.lr), rng
                 )
+                # force INSIDE the timed region: jit returns at dispatch, and
+                # block_until_ready is unreliable through the axon tunnel —
+                # only a host fetch proves the step ran (CLAUDE.md). The
+                # metrics are fetched every step anyway, so this adds no sync.
+                metrics = {k: float(v) for k, v in metrics.items()}
             steps += 1
             for k, v in metrics.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
+                totals[k] = totals.get(k, 0.0) + v
             if self.preempt is not None and self.preempt.should_stop():
                 break  # safe point: `state` is a consistent post-step snapshot
         n = max(1, steps)

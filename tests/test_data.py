@@ -165,6 +165,61 @@ def test_batch_loader(processed):
     assert not np.array_equal(b0["mel"], b1["mel"])
 
 
+def test_batch_loader_early_break_stops_worker(processed):
+    """Abandoning the iterator (max_train_steps / early-stop / preemption
+    breaks) must stop the prefetch worker instead of leaking it blocked on
+    the full queue with pinned batches."""
+    import threading
+    import time as time_mod
+
+    ds = FixedLenPairDataset(str(processed), ref_frames=4)
+    tr, _, _ = split_indices(len(ds), seed=42)
+    before = threading.active_count()
+    for _ in range(3):
+        it = iter(BatchLoader(ds, tr, batch_size=2, seed=1, prefetch=1))
+        next(it)
+        it.close()  # deterministic GeneratorExit (same path as a loop break)
+    deadline = time_mod.time() + 10.0
+    while threading.active_count() > before and time_mod.time() < deadline:
+        time_mod.sleep(0.05)
+    assert threading.active_count() <= before
+
+
+def test_batch_loader_propagates_gather_errors(processed):
+    """A gather failure inside the prefetch worker must raise in the
+    consumer (as prefetch=0 would), not silently truncate the epoch."""
+    ds = FixedLenPairDataset(str(processed), ref_frames=4)
+    tr, _, _ = split_indices(len(ds), seed=42)
+    orig = ds.gather_batch
+    calls = [0]
+
+    def boom(idx):
+        calls[0] += 1
+        if calls[0] == 3:
+            raise RuntimeError("injected gather failure")
+        return orig(idx)
+
+    ds.gather_batch = boom
+    with pytest.raises(RuntimeError, match="injected gather failure"):
+        list(BatchLoader(ds, tr, batch_size=2, seed=1, prefetch=2))
+
+
+def test_npy_index_rejects_truncated_mel(tmp_path):
+    """npy-mode trusts index-time shapes in its fast gather (native memcpy,
+    no bounds check): a mel/mask store with fewer rows than mri must be
+    caught at index time, not read out of bounds at training time."""
+    store = tmp_path / "pairs_ref4_npy" / "aaa"
+    store.mkdir(parents=True)
+    np.save(store / "mri.npy", np.zeros((3, 4, 1, 8, 8), np.float32))
+    np.save(store / "mel.npy", np.zeros((2, 4, 64), np.float32))  # truncated
+    np.save(store / "mask.npy", np.ones((3, 4), np.float32))
+    with pytest.raises(ValueError, match="mel.npy has 2 rows"):
+        FixedLenPairDataset(str(tmp_path), ref_frames=4, allow_broken_skip=False)
+    # default skip-broken mode: the folder is skipped (empty store raises)
+    with pytest.raises(RuntimeError, match="No pairs available"):
+        FixedLenPairDataset(str(tmp_path), ref_frames=4)
+
+
 def test_natural_key_sorting():
     names = ["s10", "s2", "s1"]
     assert sorted(names, key=natural_key) == ["s1", "s2", "s10"]
@@ -258,6 +313,30 @@ def test_compute_mel_db_host_matches_direct(rng):
     hosted = compute_mel_db_host(y, SR)
     assert hosted.shape == direct.shape
     np.testing.assert_allclose(hosted, direct, atol=1e-3)
+
+
+def test_mel_db_host_top_db_floor_ignores_pad_frames(rng):
+    """The top_db=80 floor is max-relative; a loud burst in the trailing
+    samples NO true frame covers (the (L-n_fft) % hop leftover) lands in a
+    boundary PAD frame only. The device must therefore compute without the
+    floor and apply it host-side over true frames — otherwise every quiet
+    frame is irreversibly clipped up to pad_max-80 instead of true_max-80."""
+    import jax.numpy as jnp
+
+    from mri2speech_tpu.ops.mel import compute_mel_db
+
+    n_fft = 2048
+    L = n_fft + 10 * HOP + 400  # leftover 400 samples beyond the last frame
+    y = (1e-4 * rng.standard_normal(L)).astype(np.float32)
+    y[-400:] = 0.9  # burst seen ONLY by padded boundary frames
+
+    direct = np.asarray(compute_mel_db(jnp.asarray(y), SR, method="fft"))
+    hosted = compute_mel_db_host(y, SR)
+    assert hosted.shape == direct.shape == (11, 64)
+    np.testing.assert_allclose(hosted, direct, atol=1e-3)
+    # the quiet frames span well over 80 dB less than the burst, so the old
+    # padded-max floor would have flattened them; sanity-check real dynamics
+    assert hosted.max() - hosted.min() <= 80.0 + 1e-3
 
 
 def test_native_gather_matches_numpy(tmp_path):

@@ -102,6 +102,69 @@ def test_masked_loss_class_wrapper():
     np.testing.assert_allclose(float(mae), 1.0, rtol=1e-6)
 
 
+def test_masked_loss_long_sequence_extends_time_weights(rng):
+    """T > max_frames (128) must not crash: frames past the 8 emphasised
+    leading entries weight 1.0, so the result equals an explicit
+    max_frames=T call (the reference's fixed buffer would raise here)."""
+    B, T, M = 1, 200, 64
+    pred = rng.standard_normal((B, T, M)).astype(np.float32)
+    target = rng.standard_normal((B, T, M)).astype(np.float32)
+    loss, mse, mae = masked_mse_mae_loss(
+        jnp.asarray(pred), jnp.asarray(target), None, jnp.float32(120_000)
+    )
+    loss2, mse2, mae2 = masked_mse_mae_loss(
+        jnp.asarray(pred), jnp.asarray(target), None, jnp.float32(120_000),
+        max_frames=T,
+    )
+    assert np.isfinite(float(loss))
+    np.testing.assert_allclose(float(loss), float(loss2), rtol=1e-6)
+    np.testing.assert_allclose(float(mse), float(mse2), rtol=1e-6)
+    np.testing.assert_allclose(float(mae), float(mae2), rtol=1e-6)
+
+
+def test_masked_loss_row_valid_drops_padded_rows(rng):
+    """Padded batch rows with row_valid=0 contribute to NO term (including
+    the otherwise-unmasked last-frame auxiliary): the loss over a padded
+    micro-batch equals the loss over its real rows alone — the reference's
+    smaller-final-micro semantics (`train_mri_acoustic_model.py:255-261`)."""
+    B, T, M = 3, 6, 64
+    pred = rng.standard_normal((B, T, M)).astype(np.float32)
+    target = rng.standard_normal((B, T, M)).astype(np.float32)
+    mask = (rng.random((B, T)) > 0.2).astype(np.float32)
+    step = jnp.float32(60_000)
+
+    # pad with a GARBAGE row marked invalid
+    pad_pred = np.concatenate([pred, 100 * np.ones((1, T, M), np.float32)])
+    pad_target = np.concatenate([target, np.zeros((1, T, M), np.float32)])
+    pad_mask = np.concatenate([mask, np.ones((1, T), np.float32)])
+    rv = np.array([1.0, 1.0, 1.0, 0.0], np.float32)
+
+    ref = masked_mse_mae_loss(jnp.asarray(pred), jnp.asarray(target), jnp.asarray(mask), step)
+    got = masked_mse_mae_loss(
+        jnp.asarray(pad_pred), jnp.asarray(pad_target), jnp.asarray(pad_mask),
+        step, row_valid=jnp.asarray(rv),
+    )
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(float(g), float(r), rtol=1e-5)
+
+    # same for the unmasked (mask=None) call path
+    ref_nm = masked_mse_mae_loss(jnp.asarray(pred), jnp.asarray(target), None, step)
+    got_nm = masked_mse_mae_loss(
+        jnp.asarray(pad_pred), jnp.asarray(pad_target), None, step,
+        row_valid=jnp.asarray(rv),
+    )
+    for g, r in zip(got_nm, ref_nm):
+        np.testing.assert_allclose(float(g), float(r), rtol=1e-5)
+
+    # band diagnostics likewise
+    bands_ref = compute_band_mae(jnp.asarray(pred), jnp.asarray(target))
+    bands_got = compute_band_mae(
+        jnp.asarray(pad_pred), jnp.asarray(pad_target), row_valid=jnp.asarray(rv)
+    )
+    for k in bands_ref:
+        np.testing.assert_allclose(float(bands_got[k]), float(bands_ref[k]), rtol=1e-5)
+
+
 def test_band_mae():
     pred = jnp.zeros((1, 2, 64))
     target = jnp.ones((1, 2, 64))

@@ -53,10 +53,22 @@ def test_reshape_micro():
     b = {"mri": np.zeros((8, 4, 1, 8, 8)), "mel": np.zeros((8, 4, 8)), "mask": np.zeros((8, 4))}
     m = _reshape_micro(b, 2)
     assert m["mri"].shape == (4, 2, 4, 1, 8, 8)
-    # uneven batch gets padded up
+    assert m["row_valid"].shape == (4, 2) and m["row_valid"].all()
+    # uneven batch gets padded up; the pad rows are marked invalid so the
+    # loss drops them from every term (reference parity: its uneven final
+    # micro-batch just runs smaller, train_mri_acoustic_model.py:255-261)
     b5 = {"mri": np.zeros((5, 4, 1, 8, 8)), "mel": np.zeros((5, 4, 8)), "mask": np.zeros((5, 4))}
     m5 = _reshape_micro(b5, 2)
     assert m5["mri"].shape == (3, 2, 4, 1, 8, 8)
+    np.testing.assert_array_equal(
+        m5["row_valid"], [[1.0, 1.0], [1.0, 1.0], [1.0, 0.0]]
+    )
+    # fixed_mbs: mesh trainers must not shrink mbs below micro_batch_size
+    b2 = {"mri": np.zeros((2, 4, 1, 8, 8)), "mel": np.zeros((2, 4, 8)), "mask": np.zeros((2, 4))}
+    m2 = _reshape_micro(b2, 4, fixed_mbs=True)
+    assert m2["mri"].shape == (1, 4, 4, 1, 8, 8)
+    np.testing.assert_array_equal(m2["row_valid"], [[1.0, 1.0, 0.0, 0.0]])
+    assert _reshape_micro(b2, 4)["mri"].shape == (1, 2, 4, 1, 8, 8)
 
 
 def test_train_step_decreases_loss(trainer_and_state):
