@@ -117,7 +117,7 @@ def main() -> None:
             "tools/convert_torch_checkpoint.py and pass them via --resume_ckpt."
         )
 
-    from mri2speech_tpu.cli.train_vocoder import resolve_mesh
+    from mri2speech_tpu.parallel.mesh import resolve_mesh
 
     mesh = resolve_mesh(args.num_devices)
     if mesh is not None:

@@ -23,29 +23,9 @@ import jax
 
 from mri2speech_tpu.config import AttrDict, build_env
 from mri2speech_tpu.data.meldata import MelDataset, get_dataset_filelist
-from mri2speech_tpu.parallel.mesh import host_is_primary, make_mesh
+from mri2speech_tpu.parallel.mesh import host_is_primary, make_mesh, resolve_mesh  # noqa: F401 (resolve_mesh re-exported; it lived here through round 3)
 from mri2speech_tpu.train.vocoder import VocoderTrainer, VocoderTrainerConfig
 from mri2speech_tpu.utils.plotting import plot_spectrogram
-
-
-def resolve_mesh(num_devices: int):
-    """--num_devices -> optional data-parallel mesh.
-
-    0 = all available devices (the reference's `device_count()` default,
-    `train.py:300`); 1 = single device, no mesh. Unlike the reference there is
-    no process spawn and the GLOBAL batch is kept (the reference divides
-    batch_size by num_gpus and re-multiplies via one process per GPU,
-    `train.py:301` — same global batch either way).
-    """
-    import jax
-
-    n = len(jax.devices()) if num_devices == 0 else num_devices
-    if n <= 1:
-        return None
-    avail = len(jax.devices())
-    if n > avail:
-        raise ValueError(f"--num_devices {n} > available devices ({avail})")
-    return make_mesh(n_data=n, n_model=1, devices=jax.devices()[:n])
 
 _audio_log_warned = False
 
@@ -146,7 +126,6 @@ def _run_training(a: argparse.Namespace, h: AttrDict, guard) -> None:
         if host_is_primary()
         else _NullWriter()
     )
-    batch_rng = np.random.default_rng(h.seed)
     n = len(trainset)
     batches_per_epoch = max(1, n // h.batch_size)
     last_val_err = 0.0
@@ -154,7 +133,11 @@ def _run_training(a: argparse.Namespace, h: AttrDict, guard) -> None:
     for epoch in range(max(0, last_epoch), a.training_epochs):
         start = time.time()
         print("Epoch: {}".format(epoch + 1))
-        perm = batch_rng.permutation(n)
+        # keyed by (seed, epoch) like the reference's sampler.set_epoch
+        # (train.py:136-137) and the acoustic BatchLoader: a resumed run
+        # continues the shuffle sequence instead of replaying epoch 0's
+        # data order at every restart
+        perm = np.random.default_rng((h.seed, epoch)).permutation(n)
 
         for i in range(batches_per_epoch):
             start_b = time.time()

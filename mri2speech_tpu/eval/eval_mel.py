@@ -26,6 +26,8 @@ from scipy.fft import dct
 import jax
 import jax.numpy as jnp
 
+from mri2speech_tpu.ops.mel import power_to_db_np as _power_to_db_np
+
 
 def simple_masked_loss(
     pred: np.ndarray, target: np.ndarray, mask: np.ndarray,
@@ -40,9 +42,6 @@ def simple_masked_loss(
     return w_mse * mse + w_mae * mae, mse, mae
 
 
-def _power_to_db_np(S: np.ndarray, amin: float = 1e-10, top_db: float = 80.0) -> np.ndarray:
-    log_spec = 10.0 * np.log10(np.maximum(amin, S))
-    return np.maximum(log_spec, log_spec.max() - top_db)
 
 
 def _meldb_to_mfcc(mel_db: np.ndarray, n_mfcc: int = 13) -> np.ndarray:
@@ -89,8 +88,13 @@ def evaluate(
 ) -> Dict[str, float]:
     """Run the eval loop over a batch iterable of {mri, mel, mask}."""
     variables = jax.device_put(variables)
-    forward_ = jax.jit(lambda v, batch: model.apply(v, batch, train=False))
-    forward = lambda batch: forward_(variables, batch)  # noqa: E731
+    # the mask must reach the model, not just the loss: the BiLSTM's backward
+    # direction would otherwise propagate padded-frame CNN features into every
+    # real frame (collate pads batches; see models/lstm.py lstm_direction) —
+    # metrics would then disagree with the exact masked serving path
+    forward_ = jax.jit(
+        lambda v, mri, mask: model.apply(v, mri, train=False, mask=mask)
+    )
     tot_loss = tot_mse = tot_mae = 0.0
     n_batches = 0
     mcd_vals = []
@@ -101,9 +105,11 @@ def evaluate(
         std = np.asarray(stats["std"], dtype=np.float32).reshape(1, -1)
 
     for batch in loader:
-        pred = np.asarray(forward(jnp.asarray(batch["mri"])))
         mel = np.asarray(batch["mel"], dtype=np.float32)
         mask = np.asarray(batch["mask"], dtype=np.float32)
+        pred = np.asarray(
+            forward_(variables, jnp.asarray(batch["mri"]), jnp.asarray(mask))
+        )
         loss, mse, mae = simple_masked_loss(pred, mel, mask)
         tot_loss += loss
         tot_mse += mse

@@ -144,6 +144,8 @@ def main() -> None:
     parser.add_argument("--blur-kernel", type=int, default=11)
     args = parser.parse_args()
 
+    if not HAS_CV2:
+        raise RuntimeError("OpenCV (cv2) is required for video masking")
     input_path, output_path = Path(args.input), Path(args.output)
     if not input_path.exists():
         raise FileNotFoundError(f"Input video not found: {input_path}")

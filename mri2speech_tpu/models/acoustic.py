@@ -25,21 +25,12 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from mri2speech_tpu.models.effnetv2 import EffNetV2Features, stem_s2d_applicable
+from mri2speech_tpu.models.layers import torch_fan_uniform_init as _torch_linear_init
 from mri2speech_tpu.models.lstm import BiLSTMSumMerge
 
 Array = jax.Array
-
-
-def _torch_linear_init(fan_in: int):
-    bound = 1.0 / np.sqrt(fan_in)
-
-    def init(key, shape, dtype=jnp.float32):
-        return jax.random.uniform(key, shape, dtype, -bound, bound)
-
-    return init
 
 
 class AcousticModel(nn.Module):

@@ -36,14 +36,22 @@ def _as_pair(p: PadT) -> Tuple[int, int]:
     return (int(p), int(p))
 
 
-def torch_conv_kernel_init(fan_in: int):
-    """torch Conv default init: kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), ...)."""
-    bound = 1.0 / np.sqrt(fan_in)
+def torch_fan_uniform_init(fan: int):
+    """torch's default bounded-uniform init U(-1/sqrt(fan), 1/sqrt(fan)).
+
+    One shared helper for the three places torch uses it: Conv
+    (kaiming_uniform(a=sqrt(5)) reduces to exactly this), Linear
+    weight/bias, and the LSTM parameters (fan = hidden size)."""
+    bound = 1.0 / np.sqrt(fan)
 
     def init(key, shape, dtype=jnp.float32):
         return jax.random.uniform(key, shape, dtype, -bound, bound)
 
     return init
+
+
+# torch Conv default init: kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), ...)
+torch_conv_kernel_init = torch_fan_uniform_init
 
 
 def normal_init(std: float = 0.01):

@@ -24,11 +24,22 @@ import numpy as np
 Array = jax.Array
 
 
-def _torch_lstm_init(hidden: int):
+from mri2speech_tpu.models.layers import torch_fan_uniform_init as _torch_lstm_init
+
+
+def _torch_lstm_bias_init(hidden: int):
+    """torch's EFFECTIVE LSTM bias init: b_ih + b_hh, two independent
+    U(-1/sqrt(H), 1/sqrt(H)) draws always applied summed. We store one fused
+    bias (see BiLSTMSumMerge), so from-scratch init must draw and SUM two
+    uniforms to match the reference distribution — a single draw would halve
+    the variance of every gate bias."""
     bound = 1.0 / np.sqrt(hidden)
 
     def init(key, shape, dtype=jnp.float32):
-        return jax.random.uniform(key, shape, dtype, -bound, bound)
+        k1, k2 = jax.random.split(key)
+        return jax.random.uniform(k1, shape, dtype, -bound, bound) + jax.random.uniform(
+            k2, shape, dtype, -bound, bound
+        )
 
     return init
 
@@ -137,19 +148,26 @@ class BiLSTMSumMerge(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
 
+        bias_init = _torch_lstm_bias_init(H)
         params = {}
         for direction in ("fwd", "bwd"):
             params[f"w_ih_{direction}"] = self.param(f"w_ih_{direction}", init, (C, 4 * H))
             params[f"w_hh_{direction}"] = self.param(f"w_hh_{direction}", init, (H, 4 * H))
             # torch keeps separate b_ih and b_hh; they only ever appear summed,
-            # so a single fused bias is stored (converter adds them).
-            params[f"b_{direction}"] = self.param(f"b_{direction}", init, (4 * H,))
+            # so a single fused bias is stored (converter adds them; from-scratch
+            # init sums two draws to match — see _torch_lstm_bias_init).
+            params[f"b_{direction}"] = self.param(f"b_{direction}", bias_init, (4 * H,))
 
         if self.impl == "pallas":
-            # fused bidirectional kernel: both recurrences share one grid
+            # fused bidirectional kernel: both recurrences share one grid.
+            # Mosaic only lowers on TPU — other backends run the kernel
+            # interpreted so impl="pallas" configs stay loadable anywhere
+            # (same auto-select as _FusedMBConv / PallasMRFStage).
             from mri2speech_tpu.ops.pallas_lstm import bilstm_sum_pallas
 
-            return bilstm_sum_pallas(x, params, mask=mask)
+            return bilstm_sum_pallas(
+                x, params, mask=mask, interpret=jax.default_backend() != "tpu"
+            )
 
         outs = []
         for direction, reverse in (("fwd", False), ("bwd", True)):

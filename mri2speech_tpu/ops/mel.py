@@ -296,6 +296,18 @@ def db_to_power(db: Array, ref: float = 1.0) -> Array:
     return ref * jnp.power(10.0, db / 10.0)
 
 
+def power_to_db_np(
+    S: np.ndarray, ref: float = 1.0, amin: float = 1e-10, top_db: Optional[float] = 80.0
+) -> np.ndarray:
+    """NumPy twin of :func:`power_to_db` for host-side metric paths
+    (eval/eval_mel.py) — identical librosa semantics, one source of truth."""
+    log_spec = 10.0 * np.log10(np.maximum(amin, S))
+    log_spec = log_spec - 10.0 * np.log10(np.maximum(amin, ref))
+    if top_db is not None:
+        log_spec = np.maximum(log_spec, np.max(log_spec) - top_db)
+    return log_spec
+
+
 def compute_mel_db(
     y: Array,
     sr: int,

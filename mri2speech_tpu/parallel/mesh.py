@@ -43,6 +43,24 @@ def make_mesh(
     return Mesh(mesh_devices, ("data", "model"))
 
 
+def resolve_mesh(num_devices: int) -> Optional[Mesh]:
+    """--num_devices CLI flag -> optional data-parallel mesh.
+
+    0 = all available devices (the reference's `device_count()` default,
+    `train.py:300`); 1 = single device, no mesh. Unlike the reference there is
+    no process spawn and the GLOBAL batch is kept (the reference divides
+    batch_size by num_gpus and re-multiplies via one process per GPU,
+    `train.py:301` — same global batch either way).
+    """
+    n = len(jax.devices()) if num_devices == 0 else num_devices
+    if n <= 1:
+        return None
+    avail = len(jax.devices())
+    if n > avail:
+        raise ValueError(f"--num_devices {n} > available devices ({avail})")
+    return make_mesh(n_data=n, n_model=1, devices=jax.devices()[:n])
+
+
 def batch_sharding(mesh: Mesh, ndim: int, batch_axis: int = 0) -> NamedSharding:
     """NamedSharding that splits `batch_axis` over the data axis."""
     spec = [None] * ndim

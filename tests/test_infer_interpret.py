@@ -528,6 +528,32 @@ def test_eval_mel_metrics(tiny_setup):
     assert {"loss", "mse", "mae", "mcd_like"} <= set(res)
 
 
+def test_eval_mel_masks_model_forward(tiny_setup):
+    """evaluate() must feed the mask into the MODEL, not only the loss: the
+    BiLSTM's backward direction otherwise propagates padded-frame CNN
+    features into every real frame, corrupting the metrics on padded
+    batches. Metrics over a padded batch must equal the unpadded run."""
+    from mri2speech_tpu.eval.eval_mel import evaluate
+
+    acoustic, variables, gen, gen_params, scaler, h = tiny_setup
+    rng = np.random.default_rng(3)
+    mri = rng.random((2, 4, 1, 64, 64)).astype(np.float32)
+    mel = rng.standard_normal((2, 4, 64)).astype(np.float32)
+    base = evaluate(
+        acoustic, variables,
+        [{"mri": mri, "mel": mel, "mask": np.ones((2, 4), np.float32)}],
+    )
+    # pad 3 junk frames; mask marks them invalid
+    mri_p = np.concatenate([mri, 7 * np.ones((2, 3, 1, 64, 64), np.float32)], axis=1)
+    mel_p = np.concatenate([mel, np.zeros((2, 3, 64), np.float32)], axis=1)
+    mask_p = np.concatenate(
+        [np.ones((2, 4), np.float32), np.zeros((2, 3), np.float32)], axis=1
+    )
+    padded = evaluate(acoustic, variables, [{"mri": mri_p, "mel": mel_p, "mask": mask_p}])
+    for k in ("loss", "mse", "mae"):
+        np.testing.assert_allclose(padded[k], base[k], rtol=1e-4)
+
+
 def test_vardataset(tmp_path):
     from mri2speech_tpu.data.vardataset import MRIMelDataset, collate_pad
 

@@ -122,3 +122,47 @@ def test_chunked_bilstm_matches_unchunked_multichunk(rng):
     )
     np.testing.assert_allclose(np.asarray(cf)[:60], np.asarray(rf)[:60], atol=1e-6)
     np.testing.assert_allclose(np.asarray(cb)[:60], np.asarray(rb)[:60], atol=1e-6)
+
+
+def test_bilstm_module_pallas_auto_interprets_off_tpu(rng):
+    """BiLSTMSumMerge(impl="pallas") must be loadable on ANY backend: the
+    module auto-selects interpret mode off-TPU (same policy as _FusedMBConv
+    and PallasMRFStage) instead of failing at Mosaic lowering — a serving
+    config that pins the pallas kernel still runs on a CPU host."""
+    import jax
+
+    from mri2speech_tpu.models.lstm import BiLSTMSumMerge
+
+    B, T, C, H = 2, 5, 6, 8
+    x = rng.standard_normal((B, T, C)).astype(np.float32)
+    scan_mod = BiLSTMSumMerge(hidden_size=H, impl="scan")
+    variables = scan_mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ref = np.asarray(scan_mod.apply(variables, jnp.asarray(x)))
+    out = np.asarray(
+        BiLSTMSumMerge(hidden_size=H, impl="pallas").apply(variables, jnp.asarray(x))
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-4)
+
+
+def test_lstm_fused_bias_init_matches_torch_variance():
+    """The fused bias stores b_ih + b_hh; from-scratch init must SUM two
+    independent U(-1/sqrt(H), 1/sqrt(H)) draws like torch's effective bias —
+    variance 2b^2/3, not the single-draw b^2/3."""
+    import jax
+
+    from mri2speech_tpu.models.lstm import BiLSTMSumMerge
+
+    H = 256
+    mod = BiLSTMSumMerge(hidden_size=H)
+    variables = mod.init(jax.random.PRNGKey(7), jnp.zeros((1, 2, 16)))
+    bound = 1.0 / np.sqrt(H)
+    expected = 2.0 * bound**2 / 3.0
+    b = np.concatenate([
+        np.asarray(variables["params"]["b_fwd"]),
+        np.asarray(variables["params"]["b_bwd"]),
+    ])
+    assert b.size == 8 * H  # 2048 samples: var estimate within ~10%
+    assert 0.75 * expected < b.var() < 1.25 * expected
+    # weights keep the single-draw torch init
+    w = np.asarray(variables["params"]["w_hh_fwd"])
+    assert 0.85 * bound**2 / 3.0 < w.var() < 1.15 * bound**2 / 3.0
