@@ -36,6 +36,7 @@ from mri2speech_tpu.models.acoustic import AcousticModel
 from mri2speech_tpu.models.layers import fold_weight_norm
 from mri2speech_tpu.models.vocoder import Generator, default_fuse_mode, fuse_mrf_params
 from mri2speech_tpu.ops.scaler import MelScaler
+from mri2speech_tpu.utils.profiling import enable_persistent_compilation_cache
 
 SR = 11413
 HOP = 420
@@ -221,7 +222,7 @@ def _probe_dispatch_rtt() -> float:
 
 
 def _probe_upload(pipeline, frames_u8, rtt: float) -> float:
-    """Median upload time of the exact serving frames buffer."""
+    """Median upload time of the exact serving frames buffer (ONE device_put)."""
     f, _ = pipeline.prepare_inputs(frames_u8)
     ups = []
     for _ in range(5):
@@ -232,16 +233,51 @@ def _probe_upload(pipeline, frames_u8, rtt: float) -> float:
     return max(0.0, float(np.median(ups)))
 
 
+def _probe_upload_chunked(pipeline, frames_u8, rtt: float) -> float:
+    """Median upload time of the same buffer as frame_bucket-sized chunks.
+
+    Mirrors the STREAMING serving path's transfer pattern (sequential
+    device_put of contiguous frame blocks, `pipeline._run_device`): on this
+    tunnel the chunked pattern has measured ~2x the single-buffer device_put
+    throughput, so a floor derived from the monolithic probe over-estimates
+    the streaming mode's transfer cost (observed: e2e 0.040 vs "floor" 0.077).
+    All chunks are forced with ONE jitted gather over every block (a per-chunk
+    float() would add a dispatch RTT per block to the reading).
+    """
+    f, _ = pipeline.prepare_inputs(frames_u8)
+    Tc = pipeline.frame_bucket
+    n_blocks = max(1, f.shape[1] // Tc)
+    force = jax.jit(
+        lambda xs: jnp.stack(
+            [x[0, 0, 0, 0, 0].astype(jnp.float32) for x in xs]
+        ).sum()
+    )
+    # warm the forcing program so its compile never lands inside a timing
+    float(force([jax.device_put(f[:, i * Tc : (i + 1) * Tc])
+                 for i in range(n_blocks)]))
+    ups = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        devs = [jax.device_put(f[:, i * Tc : (i + 1) * Tc])
+                for i in range(n_blocks)]
+        float(force(devs))
+        ups.append(time.perf_counter() - t0 - rtt)
+    return max(0.0, float(np.median(ups)))
+
+
 def _measure_link(pipeline, frames_u8, seconds_audio, acoustic_s, gen_s,
-                  upload_pre_s=None):
+                  fused_s, upload_pre_s=None, upload_chunked_pre_s=None):
     """Direct measurement of the e2e serving path's irreducible components.
 
-    Returns the measured host->device upload time of the exact frames buffer,
-    the device->host download time of the exact audio buffer, the dispatch
-    RTT, the CNN-only device time (the part the streaming path overlaps with
-    the upload), and the derived floor:
+    Measures the host->device upload time of the exact frames buffer in BOTH
+    transfer patterns the two serving modes use (one device_put vs sequential
+    frame_bucket chunks — their throughputs differ ~2x on this tunnel), the
+    device->host download time of the exact audio buffer, the dispatch RTT,
+    and the CNN-only device time (the part the streaming path overlaps with
+    the upload). Derived per-mode floors:
 
-        e2e_floor_rtf = (upload + max(0, cnn - upload) + tail + download) / audio_s
+        floor_stream = (max(upload_chunked, cnn) + tail + download) / audio_s
+        floor_mono   = (upload_mono + fused + download) / audio_s
         tail = (acoustic - cnn) + generator   # BiLSTM+head+generator: exposed
                                               # sequentially (BiLSTM is
                                               # bidirectional -> needs the
@@ -278,6 +314,12 @@ def _measure_link(pipeline, frames_u8, seconds_audio, acoustic_s, gen_s,
         if upload_pre_s is not None
         else upload_post_s
     )
+    upload_chunked_post_s = _probe_upload_chunked(pipeline, frames_u8, rtt)
+    upload_chunked_s = (
+        0.5 * (upload_chunked_pre_s + upload_chunked_post_s)
+        if upload_chunked_pre_s is not None
+        else upload_chunked_post_s
+    )
 
     # download: audio-sized fp32 fetch
     audio_dev = jax.jit(lambda: jnp.zeros((T * pipeline.hop_total,), jnp.float32))()
@@ -303,20 +345,35 @@ def _measure_link(pipeline, frames_u8, seconds_audio, acoustic_s, gen_s,
 
     tail_s = max(0.0, acoustic_s - cnn_s) + gen_s
 
-    def floor(up):
+    def floor_stream(up):
+        # chunked upload overlapped with per-block CNN compute
         return (up + max(0.0, cnn_s - up) + tail_s + download_s) / seconds_audio
 
-    floor_mid = floor(upload_s)
-    floors = sorted(
-        floor(u) for u in ((upload_pre_s, upload_post_s)
-                           if upload_pre_s is not None else (upload_post_s,))
-    )
+    def floor_mono(up):
+        # one device_put, then the full fused dispatch (no overlap)
+        return (up + fused_s + download_s) / seconds_audio
+
+    chunked_pts = ((upload_chunked_pre_s, upload_chunked_post_s)
+                   if upload_chunked_pre_s is not None
+                   else (upload_chunked_post_s,))
+    mono_pts = ((upload_pre_s, upload_post_s)
+                if upload_pre_s is not None else (upload_post_s,))
+    stream_floors = sorted(floor_stream(u) for u in chunked_pts)
+    mono_floors = sorted(floor_mono(u) for u in mono_pts)
     return {
         "upload_bytes": n_up,
         "upload_seconds": upload_s,  # mean of pre/post when both measured
         "upload_seconds_pre": upload_pre_s,
         "upload_seconds_post": upload_post_s,
         "link_up_MBps": n_up / upload_s / 1e6 if upload_s > 1e-9 else None,
+        # same bytes uploaded as sequential frame_bucket chunks (the
+        # streaming mode's pattern; measured ~2x the monolithic rate here)
+        "upload_chunked_seconds": upload_chunked_s,
+        "upload_chunked_seconds_pre": upload_chunked_pre_s,
+        "upload_chunked_seconds_post": upload_chunked_post_s,
+        "link_up_chunked_MBps": (
+            n_up / upload_chunked_s / 1e6 if upload_chunked_s > 1e-9 else None
+        ),
         "download_bytes": n_down,
         "download_seconds": download_s,
         "link_down_MBps": n_down / download_s / 1e6 if download_s > 1e-9 else None,
@@ -325,17 +382,23 @@ def _measure_link(pipeline, frames_u8, seconds_audio, acoustic_s, gen_s,
         "cnn_seconds": cnn_s,
         "tail_seconds": tail_s,
         # the tunnel rate drifts minute-to-minute (observed 60%+ within one
-        # bench run), so the floor is an INTERVAL from the pre/post upload
-        # readings; an e2e median inside [lo - 2e-3, hi + 2e-3] is
-        # link-floor-bound on this link
-        "e2e_floor_rtf": floor_mid,
-        "e2e_floor_rtf_lo": floors[0],
-        "e2e_floor_rtf_hi": floors[-1],
+        # bench run), so each mode's floor is an INTERVAL from its pre/post
+        # upload readings, probed with THAT mode's transfer pattern
+        "floor_stream_rtf": floor_stream(upload_chunked_s),
+        "floor_stream_rtf_lo": stream_floors[0],
+        "floor_stream_rtf_hi": stream_floors[-1],
+        "floor_mono_rtf": floor_mono(upload_s),
+        "floor_mono_rtf_lo": mono_floors[0],
+        "floor_mono_rtf_hi": mono_floors[-1],
     }
 
 
 def main() -> None:
     backend = jax.default_backend()
+    # Persistent compile cache (measured through the axon tunnel: the full
+    # bench pays ~15 min of remote compiles cold, ~none warm; execution
+    # timings are unaffected — the K-loop bodies time runs, not compiles).
+    enable_persistent_compilation_cache()
     dtype = jnp.bfloat16 if backend == "tpu" else None
     # Pallas LSTM recurrence (weights VMEM-resident) on real TPUs
     pipeline = build_pipeline(
@@ -441,7 +504,9 @@ def main() -> None:
     for _ in range(3):
         pipeline.infer_audio(frames_u8)
     mono.infer_audio(frames_u8)
-    upload_pre_s = _probe_upload(pipeline, frames_u8, _probe_dispatch_rtt())
+    _rtt_pre = _probe_dispatch_rtt()
+    upload_pre_s = _probe_upload(pipeline, frames_u8, _rtt_pre)
+    upload_chunked_pre_s = _probe_upload_chunked(pipeline, frames_u8, _rtt_pre)
     e2e_times = []
     mono_times = []
     # more repeats than the device loops: this path rides the tunnel, whose
@@ -471,7 +536,14 @@ def main() -> None:
     # lands — it is sequentially exposed by construction.
     link = _measure_link(pipeline, frames_u8, seconds_audio,
                          acoustic_stats["seconds"], generator_stats["seconds"],
-                         upload_pre_s=upload_pre_s)
+                         fused["seconds"], upload_pre_s=upload_pre_s,
+                         upload_chunked_pre_s=upload_chunked_pre_s)
+    # the headline e2e takes the better mode, so the floor it is judged
+    # against is THAT mode's floor (probed with that mode's transfer pattern)
+    mode_key = "floor_stream_rtf" if e2e_mode == "streaming" else "floor_mono_rtf"
+    link["e2e_floor_rtf"] = link[mode_key]
+    link["e2e_floor_rtf_lo"] = link[mode_key + "_lo"]
+    link["e2e_floor_rtf_hi"] = link[mode_key + "_hi"]
 
     print(
         json.dumps(
@@ -486,6 +558,7 @@ def main() -> None:
                 "seconds_audio": seconds_audio,
                 "device_step_seconds_median": fused["seconds"],
                 "e2e_rtf_uint8": rtf_e2e,
+                "e2e_under_target": bool(rtf_e2e <= 0.05),
                 "e2e_mode": e2e_mode,
                 "e2e_rtf_uint8_all": e2e_rtf_all,
                 "e2e_rtf_uint8_mono_all": e2e_rtf_mono_all,
@@ -494,14 +567,14 @@ def main() -> None:
                 # PCIe-attached v5e host uploads the same bytes in ~3 ms)
                 "link": link,
                 "e2e_minus_floor_rtf": rtf_e2e - link["e2e_floor_rtf"],
-                # link-floor-bound verdict: the e2e median lies inside the
-                # measured floor interval (pre/post upload-rate bracket,
-                # +-2e-3 tolerance) -> the residual gap to the 0.05 target,
-                # if any, is the LINK, not the chip
+                # link-floor-bound verdict: the e2e median shows no
+                # unexplained gap ABOVE the winning mode's measured floor
+                # interval (pre/post upload-rate bracket, +2e-3 tolerance)
+                # -> the residual gap to the 0.05 target, if any, is the
+                # LINK, not the chip. Medians BELOW the interval just mean
+                # the link ran faster during the repeats than the probes.
                 "e2e_at_link_floor": bool(
-                    link["e2e_floor_rtf_lo"] - 2e-3
-                    <= rtf_e2e
-                    <= link["e2e_floor_rtf_hi"] + 2e-3
+                    rtf_e2e <= link["e2e_floor_rtf_hi"] + 2e-3
                 ),
                 "mel_frames_per_sec": T_FRAMES / fused["seconds"],
                 "mel_l1_vs_torch_rel": mel_l1_rel,  # target: < 0.01 (1%)
@@ -570,13 +643,15 @@ if __name__ == "__main__":
                     # a tunnel-down artifact still documents the achieved
                     # performance instead of only the outage:
                     "last_recorded": {
-                        "date": "2026-08-17",
+                        "date": "2026-08-19",
                         "video2wav_rtf": 0.00237,
                         "vs_baseline": 21.1,
-                        "device_step_seconds_median": 0.0447,
-                        "e2e_rtf_uint8_median": 0.0467,
-                        "e2e_floor_rtf": 0.0476,
-                        "e2e_at_link_floor": True,
+                        "device_step_seconds_median": 0.0446,
+                        "e2e_rtf_uint8_median": 0.0402,
+                        "e2e_under_target": True,
+                        "e2e_rtf_uint8_all": [0.04492, 0.0402, 0.04005,
+                                              0.04328, 0.04, 0.03993,
+                                              0.03899, 0.04053, 0.04381],
                         "mel_l1_vs_torch_rel": 2.34e-06,
                     },
                 }

@@ -89,6 +89,25 @@ def test_checkpoint_loader_guards(tmp_path):
     assert ckpt_io.scan_checkpoint(str(tmp_path), "g_").endswith("g_00009001")
 
 
+def test_enable_persistent_compilation_cache_sets_backend_dir():
+    import jax
+
+    from mri2speech_tpu.utils.profiling import enable_persistent_compilation_cache
+
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        path = enable_persistent_compilation_cache(min_compile_time_secs=0.7)
+        assert path.endswith(f"jax_comp_cache_{jax.default_backend()}")
+        assert jax.config.jax_compilation_cache_dir == path
+        assert jax.config.jax_persistent_cache_min_compile_time_secs == 0.7
+    finally:
+        # restore the suite-wide cache dir set by conftest — the suite's
+        # warm-rerun speed depends on it
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min)
+
+
 def test_generator_checkpoint_missing_key(tmp_path):
     from mri2speech_tpu.infer.vocoder_io import load_generator
     from mri2speech_tpu.train import checkpoint as ckpt_io

@@ -43,6 +43,9 @@ def main() -> None:
     from mri2speech_tpu.interpret.masking import LIP_MASK, TONGUE_MASK, build_mask
 
     backend = jax.default_backend()
+    from mri2speech_tpu.utils.profiling import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     dtype = jnp.bfloat16 if backend == "tpu" else None
     pipeline = bench.build_pipeline(
         dtype=dtype, lstm_impl="pallas" if backend == "tpu" else "scan"

@@ -36,7 +36,10 @@ def main() -> None:
 
     import jax
 
+    from mri2speech_tpu.utils.profiling import enable_persistent_compilation_cache
+
     print(f"backend: {jax.default_backend()}", file=sys.stderr)
+    enable_persistent_compilation_cache()
     pipe = build_pipeline(lstm_impl="scan")  # online path uses the scan LSTM
     online = OnlineVideoToSpeech.from_pipeline(
         pipe, chunk=args.chunk, lookahead=args.lookahead

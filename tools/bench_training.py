@@ -283,6 +283,9 @@ def bench_input_pipeline(n_pairs_per_stem: int = 100, n_stems: int = 3) -> dict:
 
 def main() -> None:
     backend = jax.default_backend()
+    from mri2speech_tpu.utils.profiling import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     a = bench_acoustic(use_bf16=(backend == "tpu"))
     a["backend"] = backend
     print(json.dumps(a))
