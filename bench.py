@@ -23,6 +23,7 @@ TPU, fp32 elsewhere.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -256,7 +257,9 @@ def _probe_upload_chunked(pipeline, frames_u8, rtt: float) -> float:
     float(force([jax.device_put(f[:, i * Tc : (i + 1) * Tc])
                  for i in range(n_blocks)]))
     ups = []
-    for _ in range(3):
+    # same repeat count as _probe_upload: the link drifts 60%+ within a run,
+    # so the two probes' medians must damp noise identically to be comparable
+    for _ in range(5):
         t0 = time.perf_counter()
         devs = [jax.device_put(f[:, i * Tc : (i + 1) * Tc])
                 for i in range(n_blocks)]
@@ -346,12 +349,19 @@ def _measure_link(pipeline, frames_u8, seconds_audio, acoustic_s, gen_s,
     tail_s = max(0.0, acoustic_s - cnn_s) + gen_s
 
     def floor_stream(up):
-        # chunked upload overlapped with per-block CNN compute
-        return (up + max(0.0, cnn_s - up) + tail_s + download_s) / seconds_audio
+        # chunked upload overlapped with per-block CNN compute, plus the one
+        # dispatch RTT of the tail program (the per-CHUNK dispatch overhead
+        # is already inside the chunked upload probe, which times the same
+        # sequential device_put pattern the streaming path uses)
+        return (
+            up + max(0.0, cnn_s - up) + tail_s + download_s + rtt
+        ) / seconds_audio
 
     def floor_mono(up):
-        # one device_put, then the full fused dispatch (no overlap)
-        return (up + fused_s + download_s) / seconds_audio
+        # one device_put, the full fused dispatch (no overlap), and the one
+        # per-request dispatch RTT that path pays (~50 ms on this tunnel) —
+        # previously omitted, understating the floor by ~0.002 RTF
+        return (up + fused_s + download_s + rtt) / seconds_audio
 
     chunked_pts = ((upload_chunked_pre_s, upload_chunked_post_s)
                    if upload_chunked_pre_s is not None
@@ -545,47 +555,84 @@ def main() -> None:
     link["e2e_floor_rtf_lo"] = link[mode_key + "_lo"]
     link["e2e_floor_rtf_hi"] = link[mode_key + "_hi"]
 
+    full = {
+        "metric": "video2wav_rtf",
+        "value": rtf_device,
+        "unit": "rtf",
+        "vs_baseline": 0.05 / rtf_device if rtf_device > 0 else float("inf"),
+        "backend": backend,
+        "dtype": "bf16" if dtype is not None else "f32",
+        "frames": T_FRAMES,
+        "seconds_audio": seconds_audio,
+        "device_step_seconds_median": fused["seconds"],
+        "e2e_rtf_uint8": rtf_e2e,
+        "e2e_under_target": bool(rtf_e2e <= 0.05),
+        "e2e_mode": e2e_mode,
+        "e2e_rtf_uint8_all": e2e_rtf_all,
+        "e2e_rtf_uint8_mono_all": e2e_rtf_mono_all,
+        # measured link decomposition: how much of e2e is the link vs
+        # the chip, and the resulting floor on THIS link (a
+        # PCIe-attached v5e host uploads the same bytes in ~3 ms)
+        "link": link,
+        "e2e_minus_floor_rtf": rtf_e2e - link["e2e_floor_rtf"],
+        # link-floor-bound verdict: the e2e median shows no
+        # unexplained gap ABOVE the winning mode's measured floor
+        # interval (pre/post upload-rate bracket, +2e-3 tolerance)
+        # -> the residual gap to the 0.05 target, if any, is the
+        # LINK, not the chip. Medians BELOW the interval just mean
+        # the link ran faster during the repeats than the probes.
+        "e2e_at_link_floor": bool(rtf_e2e <= link["e2e_floor_rtf_hi"] + 2e-3),
+        # companion flag (r3 advisor): a median far BELOW the floor's LOW
+        # bracket means the floor PROBES mis-measured (link slower during
+        # the probes than the repeats) — distinct from the verdict above,
+        # whose semantics changed in r3 from interval membership to a
+        # one-sided upper-bound check under the same key
+        "e2e_below_floor_lo": bool(rtf_e2e < link["e2e_floor_rtf_lo"] - 2e-3),
+        "verdict_schema": 2,
+        "mel_frames_per_sec": T_FRAMES / fused["seconds"],
+        "mel_l1_vs_torch_rel": mel_l1_rel,  # target: < 0.01 (1%)
+        # per-stage FLOPs/bandwidth accounting (cost_analysis on the
+        # compiled K-loop executables; % of v5e peak on TPU)
+        "stages": {
+            "fused": fused,
+            "acoustic": acoustic_stats,
+            "generator": generator_stats,
+            "generator_int8": generator_q_stats,
+        },
+    }
+    # Full decomposition goes to a FILE plus a non-final stdout line: the
+    # driver archives only the last 2000 chars of stdout, and in round 3 the
+    # grown single line truncated the headline fields out of the artifact.
+    try:
+        full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench_full.json")
+        with open(full_path, "w", encoding="utf-8") as fh:
+            json.dump(full, fh, indent=1)
+        print(f"[bench] full decomposition -> {full_path}")
+    except OSError:
+        print(json.dumps(full))
+    # compact (<1 KB) machine-readable headline as the FINAL stdout line
     print(
         json.dumps(
             {
                 "metric": "video2wav_rtf",
                 "value": rtf_device,
                 "unit": "rtf",
-                "vs_baseline": 0.05 / rtf_device if rtf_device > 0 else float("inf"),
+                "vs_baseline": full["vs_baseline"],
                 "backend": backend,
-                "dtype": "bf16" if dtype is not None else "f32",
-                "frames": T_FRAMES,
-                "seconds_audio": seconds_audio,
+                "dtype": full["dtype"],
                 "device_step_seconds_median": fused["seconds"],
                 "e2e_rtf_uint8": rtf_e2e,
-                "e2e_under_target": bool(rtf_e2e <= 0.05),
                 "e2e_mode": e2e_mode,
-                "e2e_rtf_uint8_all": e2e_rtf_all,
-                "e2e_rtf_uint8_mono_all": e2e_rtf_mono_all,
-                # measured link decomposition: how much of e2e is the link vs
-                # the chip, and the resulting floor on THIS link (a
-                # PCIe-attached v5e host uploads the same bytes in ~3 ms)
-                "link": link,
-                "e2e_minus_floor_rtf": rtf_e2e - link["e2e_floor_rtf"],
-                # link-floor-bound verdict: the e2e median shows no
-                # unexplained gap ABOVE the winning mode's measured floor
-                # interval (pre/post upload-rate bracket, +2e-3 tolerance)
-                # -> the residual gap to the 0.05 target, if any, is the
-                # LINK, not the chip. Medians BELOW the interval just mean
-                # the link ran faster during the repeats than the probes.
-                "e2e_at_link_floor": bool(
-                    rtf_e2e <= link["e2e_floor_rtf_hi"] + 2e-3
-                ),
-                "mel_frames_per_sec": T_FRAMES / fused["seconds"],
-                "mel_l1_vs_torch_rel": mel_l1_rel,  # target: < 0.01 (1%)
-                # per-stage FLOPs/bandwidth accounting (cost_analysis on the
-                # compiled K-loop executables; % of v5e peak on TPU)
-                "stages": {
-                    "fused": fused,
-                    "acoustic": acoustic_stats,
-                    "generator": generator_stats,
-                    "generator_int8": generator_q_stats,
-                },
+                "e2e_under_target": full["e2e_under_target"],
+                "e2e_floor_rtf_lo": link["e2e_floor_rtf_lo"],
+                "e2e_floor_rtf_hi": link["e2e_floor_rtf_hi"],
+                "e2e_at_link_floor": full["e2e_at_link_floor"],
+                "e2e_below_floor_lo": full["e2e_below_floor_lo"],
+                "verdict_schema": 2,
+                "mfu_pct": fused.get("mfu_pct"),
+                "mel_l1_vs_torch_rel": mel_l1_rel,
+                "full_json": "bench_full.json",
             }
         )
     )

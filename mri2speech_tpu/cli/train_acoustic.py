@@ -90,7 +90,23 @@ def main() -> None:
              "device (the reference's acoustic trainer is single-device; DP "
              "here shards the micro-batch dim over the mesh `data` axis).",
     )
+    ap.add_argument(
+        "--model_devices", type=int, default=1,
+        help="Tensor-parallel width: this many of --num_devices form the "
+             "mesh `model` axis (BiLSTM fused-gate matrices and the mel head "
+             "shard over it, parallel/mesh.py::acoustic_param_sharding). "
+             "1 = pure DP (reference parity; the reference has no TP).",
+    )
+    from mri2speech_tpu.parallel.mesh import (
+        add_distributed_flags,
+        initialize_distributed_from_args,
+    )
+
+    add_distributed_flags(ap)
     args = ap.parse_args()
+
+    # BEFORE any jax.devices() touch: afterwards the device list is global
+    initialize_distributed_from_args(args)
 
     if not os.path.isdir(args.processed_dir):
         raise FileNotFoundError(f"{args.processed_dir} not found. Run preprocess first.")
@@ -119,9 +135,12 @@ def main() -> None:
 
     from mri2speech_tpu.parallel.mesh import resolve_mesh
 
-    mesh = resolve_mesh(args.num_devices)
+    mesh = resolve_mesh(args.num_devices, args.model_devices)
     if mesh is not None:
-        print(f"[MESH] data-parallel over {mesh.shape['data']} devices")
+        print(
+            f"[MESH] data={mesh.shape['data']} x model={mesh.shape['model']} "
+            f"devices"
+        )
 
     from mri2speech_tpu.train.preempt import PreemptionGuard, maybe_resume_path
 

@@ -23,7 +23,13 @@ import jax
 
 from mri2speech_tpu.config import AttrDict, build_env
 from mri2speech_tpu.data.meldata import MelDataset, get_dataset_filelist
-from mri2speech_tpu.parallel.mesh import host_is_primary, make_mesh, resolve_mesh  # noqa: F401 (resolve_mesh re-exported; it lived here through round 3)
+from mri2speech_tpu.parallel.mesh import (  # noqa: F401 (resolve_mesh re-exported; it lived here through round 3)
+    add_distributed_flags,
+    host_is_primary,
+    initialize_distributed_from_args,
+    make_mesh,
+    resolve_mesh,
+)
 from mri2speech_tpu.train.vocoder import VocoderTrainer, VocoderTrainerConfig
 from mri2speech_tpu.utils.plotting import plot_spectrogram
 
@@ -241,9 +247,14 @@ def main() -> None:
     parser.add_argument(
         "--num_devices", default=0, type=int,
         help="Data-parallel device count; 0 = all available (reference "
-             "`train.py:300` uses device_count()), 1 = single device.",
+             "`train.py:300` uses device_count()), 1 = single device. Under "
+             "the multi-host flags this counts GLOBAL devices.",
     )
+    add_distributed_flags(parser)
     a = parser.parse_args()
+
+    # BEFORE any jax.devices() touch: afterwards the device list is global
+    initialize_distributed_from_args(a)
 
     with open(a.config) as f:
         h = AttrDict(json.loads(f.read()))

@@ -36,9 +36,11 @@ from mri2speech_tpu.losses.masked_mse_mae import (
     masked_mse_mae_loss,
 )
 from mri2speech_tpu.parallel.mesh import (
+    acoustic_param_sharding,
     batch_sharding,
     host_is_primary,
     replicate,
+    replicated_sharding,
 )
 from mri2speech_tpu.train import checkpoint as ckpt_io
 from mri2speech_tpu.train.schedule import ReduceLROnPlateau
@@ -177,11 +179,26 @@ class AcousticTrainer:
             opt_state=self.tx.init(params),
             global_step=jnp.asarray(0, jnp.int32),
         )
-        if self.mesh is not None:
-            state = replicate(state, self.mesh)
-        return state
+        return self._place_state(state)
 
     # -- mesh placement ------------------------------------------------------
+    def _place_state(self, state: TrainState) -> TrainState:
+        """Lay the state out on the mesh: params per `acoustic_param_sharding`
+        (TP over `model` when the mesh has one; pure replication = DP
+        otherwise), batch_stats/opt_state/step replicated. Single device:
+        no-op."""
+        if self.mesh is None:
+            return state
+        rep = replicated_sharding(self.mesh)
+        return state.replace(
+            params=jax.device_put(
+                state.params, acoustic_param_sharding(self.mesh, state.params)
+            ),
+            batch_stats=jax.device_put(state.batch_stats, rep),
+            opt_state=jax.device_put(state.opt_state, rep),
+            global_step=jax.device_put(state.global_step, rep),
+        )
+
     def _put_micro(self, micro: Dict[str, np.ndarray]) -> Dict[str, Any]:
         """Place (n_micro, mbs, ...) arrays: micro axis unsharded, batch dim
         split over the mesh `data` axis (DP). Single-device: plain transfer."""
@@ -454,8 +471,7 @@ class AcousticTrainer:
             opt_state=obj["opt_state"],
             global_step=jnp.asarray(int(obj["global_step"]), jnp.int32),
         )
-        if self.mesh is not None:
-            new_state = replicate(new_state, self.mesh)
+        new_state = self._place_state(new_state)
         print(
             f"[RESUME] Resuming from epoch {self.start_epoch} "
             f"(global step {int(obj['global_step'])}) with best_val={self.best_val:.6f}"

@@ -20,7 +20,14 @@ import jax  # noqa: E402
 # the config as well so tests genuinely run on the virtual-8-device CPU.
 jax.config.update("jax_platforms", "cpu")
 
-jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
+# SAME backend-suffixed dir as utils/profiling.py::enable_persistent_compilation_cache
+# (the backend is pinned to cpu two lines up): tools and the test suite share
+# one CPU cache instead of compiling identical programs twice on this 1-core
+# host. The suffix keeps TPU remote-compile entries out (mixing warns/SIGABRTs
+# after toolchain changes, see CLAUDE.md).
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache_cpu")
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 # JAX 0.9 defaults matmuls/convs to reduced precision even on CPU; parity tests
 # against torch fp32 need exact fp32 accumulation.

@@ -3,11 +3,14 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 import torch
 from torch.nn.utils import weight_norm
 
 import jax
 import jax.numpy as jnp
+
+pytestmark = pytest.mark.smoke  # cold-cache fast: tiny converter models
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 from convert_torch_checkpoint import (  # noqa: E402

@@ -4,6 +4,8 @@ import pytest
 
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.smoke  # cold-cache fast: tiny jits only
+
 from mri2speech_tpu.losses import (
     MaskedMSEMAE,
     discriminator_loss,

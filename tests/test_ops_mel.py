@@ -13,6 +13,8 @@ import jax.numpy as jnp
 
 from mri2speech_tpu.ops import mel as M
 
+pytestmark = pytest.mark.smoke  # cold-cache fast: mel/STFT programs only
+
 SR, N_FFT, HOP, WIN, N_MELS = 11413, 2048, 420, 2048, 64
 
 

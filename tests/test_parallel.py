@@ -90,6 +90,72 @@ def test_dp_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3)
 
 
+def test_dp_tp_train_step_matches_single_device():
+    """PRODUCT-path DP x TP (data=4 x model=2) == single device.
+
+    No hand-built shardings: `AcousticTrainer(mesh=...)` places params via
+    `acoustic_param_sharding` (BiLSTM gates + head over `model`) in
+    `init_state`, and `_put_micro` shards the batch — the exact path
+    `m2s-train-acoustic --num_devices 8 --model_devices 2` takes.
+    """
+    from mri2speech_tpu.parallel.mesh import acoustic_param_sharding
+    from jax.sharding import PartitionSpec
+
+    mesh = make_mesh(4, 2)
+    model = AcousticModel(n_mels=8, rnn_hidden=8, cnn_spec=TINY_SPEC, cnn_stem=8)
+    cfg = AcousticTrainerConfig(micro_batch_size=8, lr=1e-3)
+    trainer = AcousticTrainer(model, cfg)
+    trainer_sh = AcousticTrainer(model, cfg, mesh=mesh)
+
+    rng = np.random.default_rng(0)
+    B = 16
+    batch = {
+        "mri": rng.random((B, 4, 1, 32, 32)).astype(np.float32),
+        "mel": rng.standard_normal((B, 4, 8)).astype(np.float32),
+        "mask": np.ones((B, 4), dtype=np.float32),
+    }
+    micro = _reshape_micro(batch, 8)
+
+    s1 = trainer.init_state(batch)
+    s1, m1 = trainer._train_step(
+        s1, {k: jnp.asarray(v) for k, v in micro.items()},
+        jnp.float32(1e-3), jax.random.PRNGKey(0),
+    )
+
+    s2 = trainer_sh.init_state(batch)
+    # the TP rules actually engaged: 4H=32 gate dim sharded over model=2
+    specs = jax.tree_util.tree_map(
+        lambda x: x.sharding.spec, s2.params,
+        is_leaf=lambda x: hasattr(x, "sharding"),
+    )
+    flat = {
+        "/".join(getattr(k, "key", str(k)) for k in path): s
+        for path, s in jax.tree_util.tree_flatten_with_path(specs)[0]
+    }
+    assert any(
+        "rnn" in k and s == PartitionSpec(None, "model") for k, s in flat.items()
+    ), flat
+    # and the sharding tree is what the product helper prescribes
+    want = acoustic_param_sharding(mesh, s2.params)
+    got = jax.tree_util.tree_map(
+        lambda x: x.sharding, s2.params, is_leaf=lambda x: hasattr(x, "sharding")
+    )
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(lambda a, b: a == b, got, want)
+    )
+
+    micro_sh = trainer_sh._put_micro(micro)
+    s2, m2 = trainer_sh._train_step(
+        s2, micro_sh, jnp.float32(1e-3), jax.random.PRNGKey(0)
+    )
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3)
+
+
 def test_vocoder_dp_gan_step_matches_single_device():
     """The sharded vocoder D+G step == unsharded: same losses, same params.
 
@@ -138,11 +204,11 @@ def test_vocoder_trainer_rejects_indivisible_batch():
 
 
 def test_prepare_dryrun_cache_generations(tmp_path):
-    """AOT-cache staleness protocol: a pre-existing dir WITHOUT a generation
-    marker is wiped (its entries predate the canary mechanism and were never
-    feature-checked — a fresh canary compile would vacuously approve them);
-    a marked dir with a passing canary keeps its entries; a failing canary
-    wipes regardless."""
+    """AOT-cache staleness protocol (validate-FIRST — the round-3 marker-based
+    blanket wipe destroyed a warm cache at driver time, MULTICHIP_r03 rc=124):
+    a dir whose canary LOAD passes keeps its entries whether or not it carries
+    a marker; only a failing canary wipes. The canary runs twice so the second
+    call always exercises a real AOT load."""
     import importlib.util
     from pathlib import Path
 
@@ -156,18 +222,21 @@ def test_prepare_dryrun_cache_generations(tmp_path):
     marker = d / ".canary_generation"
 
     # fresh dir: seeded + marked
-    m._prepare_dryrun_cache(str(d), canary=lambda _d: True)
+    calls = []
+    m._prepare_dryrun_cache(str(d), canary=lambda _d: calls.append(1) or True)
     assert marker.exists()
+    assert len(calls) == 2  # compile + LOAD validation
 
     # marked dir, passing canary: entries survive
     (d / "entry.bin").write_bytes(b"x")
     m._prepare_dryrun_cache(str(d), canary=lambda _d: True)
     assert (d / "entry.bin").exists()
 
-    # unmarked pre-existing dir (predates the mechanism): wiped + re-marked
+    # UNMARKED pre-existing dir with a passing canary: entries SURVIVE
+    # (validate-first; the marker is informational, not a wipe trigger)
     marker.unlink()
     m._prepare_dryrun_cache(str(d), canary=lambda _d: True)
-    assert not (d / "entry.bin").exists()
+    assert (d / "entry.bin").exists()
     assert marker.exists()
 
     # failing canary: wiped even though marked
@@ -193,10 +262,12 @@ def test_graft_entry_dryrun_8_devices(monkeypatch):
 
 
 def test_two_process_dp_training_step():
-    """Genuine 2-OS-process DP training: one acoustic and one vocoder GAN
-    optimizer step each execute across a Gloo-coordinated 8-device global
-    mesh (the reference's real distributed mode, `train.py:26-28,300-307`),
-    then the vocoder trainer saves/resumes through its multi-host orbax path."""
+    """Genuine 2-OS-process multi-host training through the PRODUCT CLI
+    flags (`m2s-train-vocoder --coordinator_address/--num_processes/
+    --process_id`, the reference's real distributed mode re-surfaced,
+    `train.py:26-28,300-307`): train 2 steps on a Gloo-coordinated 8-device
+    global mesh with orbax checkpoints, SIGTERM-preempt both ranks at the
+    multi-host-agreed step, and resume past the preemption checkpoint."""
     import subprocess
     import sys
     from pathlib import Path

@@ -49,6 +49,7 @@ def trainer_and_state():
     return trainer, make_state, rng
 
 
+@pytest.mark.smoke
 def test_reshape_micro():
     b = {"mri": np.zeros((8, 4, 1, 8, 8)), "mel": np.zeros((8, 4, 8)), "mask": np.zeros((8, 4))}
     m = _reshape_micro(b, 2)
@@ -71,6 +72,7 @@ def test_reshape_micro():
     assert _reshape_micro(b2, 4)["mri"].shape == (1, 2, 4, 1, 8, 8)
 
 
+@pytest.mark.smoke  # the smoke tier's one tiny-train step (cold ~60 s)
 def test_train_step_decreases_loss(trainer_and_state):
     trainer, make_state, rng = trainer_and_state
     state = make_state()
@@ -124,6 +126,7 @@ def test_checkpoint_roundtrip(tmp_path, trainer_and_state):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.smoke
 def test_plateau_scheduler_semantics():
     from mri2speech_tpu.train.schedule import ReduceLROnPlateau
 

@@ -92,10 +92,10 @@ def main() -> None:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update(
-        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache")
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    # backend-suffixed cache shared with the test suite / other tools
+    from mri2speech_tpu.utils.profiling import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
 
     print(f"backend: {jax.default_backend()}", file=sys.stderr)
     pipe = build_pipeline()

@@ -1,39 +1,132 @@
-"""2-process DP TRAINING step check on CPU devices.
+"""2-process multi-host training check driving the PRODUCT CLI.
 
 The reference's real distributed mode is several OS processes training
 together (`/root/reference/train.py:26-28,300-307`: one spawned rank per GPU,
-DDP all-reduce). `multiprocess_ckpt_check.py` proves the sharded save/restore
-half of that story; this sibling proves the TRAINING half: two
-`jax.distributed.initialize` processes form one 8-device global mesh and
-execute genuine optimizer steps of BOTH trainers through their product APIs —
+DDP all-reduce). Here multi-host is a product surface on the trainer CLIs —
+`--coordinator_address/--num_processes/--process_id` call
+`jax.distributed.initialize` before the mesh is built (parallel/mesh.py) —
+and this check is a THIN WRAPPER over those flags: two OS processes each run
+`mri2speech_tpu.cli.train_vocoder.main()` (the one trainer the reference
+distributes) against a shared tiny corpus on a Gloo-coordinated 8-device
+global CPU mesh, through three phases:
 
-1. acoustic `AcousticTrainer(mesh=...)` — `_reshape_micro` -> `_put_micro`
-   (global batch, batch axis sharded over `data`) -> jitted `_train_step`;
-   XLA inserts the cross-process gradient all-reduce over the Gloo backend.
-2. vocoder `VocoderTrainer(mesh=...).train_step` — sharded audio batch,
-   D+G step with the saved-vjp generator forward.
-
-Each asserts finite losses and identical metric values on both processes
-(the all-reduce makes the replicated metrics globally consistent). The
-vocoder trainer then saves through its auto-selected multi-host path
-(`use_orbax` = process_count() > 1 — every process writes its shards, host 0
-alone writes the metadata sidecar + no msgpack files appear) and resumes.
+1. TRAIN     — 2 epochs, checkpoint every step: asserts both ranks step in
+               lockstep, orbax g_/do_ DIRECTORIES appear (multi-host
+               auto-selects sharded orbax), host 0 alone writes the metadata
+               sidecar.
+2. PREEMPT   — relaunch, SIGTERM both ranks mid-run: the multi-host-agreed
+               guard (train/preempt.py) saves a consistent checkpoint at the
+               same step on both ranks and both exit 0.
+3. RESUME    — relaunch: both ranks print the CLI's `[RESUME] restored
+               checkpoint at step N` with N > the TRAIN phase's last step and
+               finish the remaining epochs.
 
 Run: python tools/multiprocess_train_check.py            (spawns both workers)
-     python tools/multiprocess_train_check.py --process_id N --ckpt DIR
+     python tools/multiprocess_train_check.py --worker ... (internal)
 """
 from __future__ import annotations
 
 import argparse
+import json
 import os
+import signal
 import subprocess
 import sys
 import tempfile
+import time
 from pathlib import Path
 
 REPO = str(Path(__file__).resolve().parents[1])
 N_PROC = 2
 LOCAL_DEVICES = 4
+SR = 11413
+
+
+def worker(process_id: int, coord: str, cli_args: list) -> None:
+    """Thin wrapper: configure the CPU backend, then run the PRODUCT CLI
+    exactly as a pod host would (`m2s-train-vocoder --coordinator_address ...
+    --num_processes 2 --process_id N`). No trainer APIs are touched here."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={LOCAL_DEVICES}"
+    ).strip()
+    import jax
+
+    # the axon bootstrap pins jax_platforms to the tunneled TPU via
+    # jax.config, outranking the env var (CLAUDE.md)
+    jax.config.update("jax_platforms", "cpu")
+    # parent's persistent compile cache doesn't propagate to subprocesses;
+    # same backend-suffixed dir as tests/conftest.py
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/jax_comp_cache_cpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+    sys.path.insert(0, REPO)
+    from mri2speech_tpu.cli.train_vocoder import main as cli_main
+
+    sys.argv = ["m2s-train-vocoder"] + cli_args + [
+        "--coordinator_address", coord,
+        "--num_processes", str(N_PROC),
+        "--process_id", str(process_id),
+        "--num_devices", "0",
+    ]
+    cli_main()
+
+
+def _write_corpus(root: Path) -> tuple:
+    sys.path.insert(0, REPO)
+    import numpy as np
+
+    from mri2speech_tpu.data import audio_io
+    from mri2speech_tpu.data.filelists import create_filelists
+    from mri2speech_tpu.config import default_vocoder_config
+
+    wavs = root / "wavs"
+    wavs.mkdir()
+    for i in range(12):
+        t = np.arange(SR) / SR
+        y = (0.5 * np.sin(2 * np.pi * (180 + 15 * i) * t)).astype(np.float32)
+        audio_io.write_wav(str(wavs / f"utt{i:03d}.wav"), SR, (y * 32767).astype(np.int16))
+    create_filelists(wavs, root / "lists", valid_ratio=0.2, seed=42)
+    cfg = dict(default_vocoder_config(
+        upsample_initial_channel=16, batch_size=8, segment_size=840
+    ))
+    cfg_path = root / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    return wavs, cfg_path
+
+
+def _launch(phase_dir: Path, coord: str, cli_args: list) -> list:
+    procs = []
+    for i in range(N_PROC):
+        out = open(phase_dir / f"proc{i}.log", "w")
+        procs.append((
+            subprocess.Popen(
+                [sys.executable, __file__, "--worker", "--process_id", str(i),
+                 "--coord", coord, "--"] + cli_args,
+                stdout=out, stderr=subprocess.STDOUT, text=True,
+            ),
+            out,
+        ))
+    return procs
+
+
+def _wait(procs, timeout=1500) -> list:
+    rcs = []
+    for p, out in procs:
+        try:
+            p.wait(timeout=timeout)
+        finally:
+            out.close()
+        rcs.append(p.returncode)
+    return rcs
+
+
+def _logs(phase_dir: Path) -> list:
+    return [(phase_dir / f"proc{i}.log").read_text() for i in range(N_PROC)]
 
 
 def _free_port() -> int:
@@ -46,141 +139,87 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def worker(process_id: int, ckpt_dir: str, coord: str) -> None:
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "")
-        + f" --xla_force_host_platform_device_count={LOCAL_DEVICES}"
-    ).strip()
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-    # the parent's persistent compile cache (set by conftest via jax.config)
-    # does NOT propagate to subprocesses — without this every suite run
-    # cold-compiles both trainers' full graphs in both ranks
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.expanduser("~/.cache/jax_comp_cache"),
-    )
-    jax.distributed.initialize(
-        coordinator_address=coord, num_processes=N_PROC, process_id=process_id
-    )
-    import numpy as np
-    import jax.numpy as jnp
-
-    sys.path.insert(0, REPO)
-    from mri2speech_tpu.config import default_vocoder_config
-    from mri2speech_tpu.models.acoustic import AcousticModel
-    from mri2speech_tpu.models.effnetv2 import StageSpec
-    from mri2speech_tpu.parallel.mesh import host_is_primary, make_mesh
-    from mri2speech_tpu.train.acoustic import (
-        AcousticTrainer,
-        AcousticTrainerConfig,
-        _reshape_micro,
-    )
-    from mri2speech_tpu.train.vocoder import VocoderTrainer, VocoderTrainerConfig
-
-    assert jax.process_count() == N_PROC
-    n_dev = N_PROC * LOCAL_DEVICES
-    assert len(jax.devices()) == n_dev
-    mesh = make_mesh(n_data=n_dev, n_model=1)
-
-    # ---- acoustic DP step across both processes ----
-    tiny_spec = (
-        StageSpec("cn", 3, 1, 1, 8, 1),
-        StageSpec("er", 3, 2, 2, 16, 1),
-        StageSpec("ir", 3, 2, 2, 32, 1, 0.25),
-    )
-    model = AcousticModel(
-        n_mels=64, rnn_hidden=64, dropout=0.5, use_checkpoint=True,
-        cnn_spec=tiny_spec, cnn_stem=8,
-    )
-    trainer = AcousticTrainer(
-        model, AcousticTrainerConfig(micro_batch_size=n_dev), mesh=mesh
-    )
-    rng = np.random.default_rng(0)  # same seed on both processes: global batch
-    B, T, HW = 2 * n_dev, 4, 32
-    batch = {
-        "mri": rng.random((B, T, 1, HW, HW)).astype(np.float32),
-        "mel": rng.standard_normal((B, T, 64)).astype(np.float32),
-        "mask": np.ones((B, T), dtype=np.float32),
-    }
-    state = trainer.init_state(batch)
-    micro = trainer._put_micro(_reshape_micro(batch, trainer.cfg.micro_batch_size))
-    state, metrics = trainer._train_step(
-        state, micro, jnp.float32(1e-4), jax.random.PRNGKey(0)
-    )
-    loss = float(metrics["loss"])
-    assert np.isfinite(loss), f"non-finite acoustic loss {loss}"
-    assert int(jax.device_get(state.global_step)) == 1
-    print(f"[proc {process_id}] acoustic DP step OK, loss={loss:.6f}", flush=True)
-
-    # ---- vocoder GAN DP step across both processes ----
-    h = default_vocoder_config(
-        upsample_initial_channel=16, batch_size=n_dev, segment_size=840
-    )
-    voc = VocoderTrainer(h, VocoderTrainerConfig(), mesh=mesh)
-    assert voc.use_orbax, "multi-process trainer must auto-select orbax"
-    voc_state = voc.init_state(jax.random.PRNGKey(h["seed"]))
-    audio = (rng.standard_normal((n_dev, h["segment_size"])) * 0.1).astype(np.float32)
-    voc_state, voc_metrics = voc.train_step(voc_state, {"audio": audio})
-    vals = {k: float(voc_metrics[k]) for k in ("loss_gen_all", "loss_disc_all", "mel_error")}
-    for k, v in vals.items():
-        assert np.isfinite(v), f"non-finite vocoder {k}={v}"
-    print(
-        f"[proc {process_id}] vocoder GAN DP step OK, gen={vals['loss_gen_all']:.6f}",
-        flush=True,
-    )
-
-    # ---- multi-host save/resume through the trainer's own path ----
-    voc.save(ckpt_dir, voc_state, steps=5, epoch=0)
-    # orbax mode: directories, not msgpack files; host-0-only sidecar
-    g_dir = os.path.join(ckpt_dir, "g_00000005")
-    do_dir = os.path.join(ckpt_dir, "do_00000005")
-    assert os.path.isdir(g_dir) and os.path.isdir(do_dir), "expected orbax dirs"
-    if host_is_primary():
-        assert os.path.isfile(os.path.join(do_dir, "train_meta.json"))
-    restored, steps, epoch = voc.resume(ckpt_dir, voc.init_state(jax.random.PRNGKey(1)))
-    assert steps == 6 and epoch == 0, (steps, epoch)
-    r_leaf = jax.tree_util.tree_leaves(restored.gen_params)[0]
-    o_leaf = jax.tree_util.tree_leaves(voc_state.gen_params)[0]
-    np.testing.assert_array_equal(
-        np.asarray(r_leaf.addressable_shards[0].data),
-        np.asarray(o_leaf.addressable_shards[0].data),
-    )
-    print(f"[proc {process_id}] OK (primary={host_is_primary()})", flush=True)
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
     ap.add_argument("--process_id", type=int, default=None)
-    ap.add_argument("--ckpt", type=str, default=None)
     ap.add_argument("--coord", type=str, default=None)
+    ap.add_argument("cli_args", nargs="*")
     args = ap.parse_args()
-    if args.process_id is not None:
-        worker(args.process_id, args.ckpt, args.coord)
+    if args.worker:
+        worker(args.process_id, args.coord, args.cli_args)
         return
 
-    ckpt_dir = tempfile.mkdtemp(prefix="m2s_mp_train_")
-    coord = f"localhost:{_free_port()}"
-    procs = [
-        subprocess.Popen(
-            [sys.executable, __file__, "--process_id", str(i), "--ckpt", ckpt_dir,
-             "--coord", coord],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        for i in range(N_PROC)
+    root = Path(tempfile.mkdtemp(prefix="m2s_mp_cli_"))
+    wavs, cfg_path = _write_corpus(root)
+    ckpt = root / "cp"
+    base = [
+        "--input_wavs_dir", str(wavs),
+        "--input_training_file", str(root / "lists" / "training.txt"),
+        "--input_validation_file", str(root / "lists" / "validation.txt"),
+        "--checkpoint_path", str(ckpt),
+        "--config", str(cfg_path),
+        "--stdout_interval", "1",
+        "--checkpoint_interval", "1",
+        "--summary_interval", "1000",
+        "--validation_interval", "1000",
     ]
-    outs = [p.communicate(timeout=1800)[0] for p in procs]
-    ok = all(p.returncode == 0 for p in procs)
-    for i, out in enumerate(outs):
-        tail = "\n".join(out.strip().splitlines()[-8:])
-        print(f"--- proc {i} (rc={procs[i].returncode}) ---\n{tail}")
-    if not ok:
-        raise SystemExit("multiprocess train check FAILED")
+
+    # ---- phase 1: TRAIN (2 epochs = 2 steps, product CLI, product flags) ----
+    p1 = root / "phase_train"
+    p1.mkdir()
+    rcs = _wait(_launch(p1, f"localhost:{_free_port()}", base + ["--training_epochs", "2"]))
+    logs = _logs(p1)
+    assert all(rc == 0 for rc in rcs), (rcs, logs[0][-2000:], logs[1][-2000:])
+    for i, log in enumerate(logs):
+        assert "Steps : 1" in log, f"proc {i} never reached step 1:\n{log[-2000:]}"
+    g_dirs = sorted(d for d in ckpt.glob("g_*") if d.is_dir())
+    do_dirs = sorted(d for d in ckpt.glob("do_*") if d.is_dir())
+    assert g_dirs and do_dirs, "expected orbax checkpoint DIRECTORIES (multi-host)"
+    assert (do_dirs[-1] / "train_meta.json").is_file(), "host-0 metadata sidecar missing"
+    print(f"[phase train] OK: 2 ranks, steps logged, orbax dirs {g_dirs[-1].name}/{do_dirs[-1].name}")
+
+    # ---- phase 2: PREEMPT (SIGTERM both ranks mid-run) ----
+    p2 = root / "phase_preempt"
+    p2.mkdir()
+    procs = _launch(p2, f"localhost:{_free_port()}", base + ["--training_epochs", "300"])
+    deadline = time.time() + 900
+    while time.time() < deadline:
+        try:
+            if all("Steps : 4" in (p2 / f"proc{i}.log").read_text() for i in range(N_PROC)):
+                break
+        except OSError:
+            pass
+        if any(p.poll() is not None for p, _ in procs):
+            break
+        time.sleep(1.0)
+    for p, _ in procs:
+        if p.poll() is None:
+            p.send_signal(signal.SIGTERM)
+    rcs = _wait(procs, timeout=600)
+    logs = _logs(p2)
+    assert all(rc == 0 for rc in rcs), (rcs, logs[0][-2000:], logs[1][-2000:])
+    for i, log in enumerate(logs):
+        assert "[PREEMPT]" in log, f"proc {i} missed the preemption save:\n{log[-2000:]}"
+    print("[phase preempt] OK: both ranks saved at the agreed step and exited 0")
+
+    # ---- phase 3: RESUME (restored step > phase-1's, finishes cleanly) ----
+    p3 = root / "phase_resume"
+    p3.mkdir()
+    rcs = _wait(_launch(p3, f"localhost:{_free_port()}", base + ["--training_epochs", "8"]))
+    logs = _logs(p3)
+    assert all(rc == 0 for rc in rcs), (rcs, logs[0][-2000:], logs[1][-2000:])
+    for i, log in enumerate(logs):
+        assert "[RESUME] restored checkpoint at step" in log, (
+            f"proc {i} did not resume:\n{log[-2000:]}"
+        )
+        step = int(log.split("[RESUME] restored checkpoint at step ")[1].split(",")[0])
+        assert step >= 2, f"proc {i} resumed from step {step}, expected >= 2 (post-preempt)"
+    print("[phase resume] OK: both ranks resumed past the preemption checkpoint")
+
     print(
-        "[multiprocess_train_check] PASSED: 2-process DP acoustic + vocoder GAN "
-        "steps, orbax save/resume, host-0 sidecar"
+        "[multiprocess_train_check] PASSED: product-CLI multi-host flags — "
+        "2-rank train / SIGTERM-preempt / resume round trip"
     )
 
 
