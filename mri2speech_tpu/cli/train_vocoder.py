@@ -194,6 +194,14 @@ def _run_training(a: argparse.Namespace, h: AttrDict, guard) -> None:
                 if count:
                     last_val_err = val_err_tot / count
                     sw.add_scalar("validation/mel_spec_error", last_val_err, steps)
+                    # stdout too (the reference logs this to TB only,
+                    # train.py:215-216): headless runs and the training
+                    # campaign harness read the trajectory from the log
+                    print(
+                        "Validation mel-spec error : {:4.3f} (step {:d})".format(
+                            last_val_err, steps
+                        )
+                    )
 
             if guard is not None and guard.should_stop():
                 trainer.save(a.checkpoint_path, state, steps, epoch)

@@ -27,10 +27,18 @@ pipeline (`infer/pipeline.py`):
   right-pad zeros are literal zeros offline but computed activations in the
   final window) — ~0.5 ms at sr=11413, asserted in tests.
 
-Four compiled programs total, independent of stream length: CNN chunk, mel
+Five compiled programs total, independent of stream length: CNN chunk, mel
 chunk (LSTM+head+scaler+bridge), generator prefix window, generator steady
-window. Worst-case algorithmic latency = (r + g + 1) chunks where r/g are the
-lookahead / generator-right-cone chunk counts (`latency_frames`).
+window, and a FUSED steady-state tail (mel chunk + generator window in ONE
+dispatch). Worst-case algorithmic latency = (r + g + 1) chunks where r/g are
+the lookahead / generator-right-cone chunk counts (`latency_frames`).
+
+Tunnel-latency design (round 4): through a ~50 ms/dispatch link the per-chunk
+cost was ~85% dispatch overhead (3 dispatches + synchronous fetches,
+docs/BENCH_NOTES.md). Steady state now costs TWO dispatches — CNN (kept
+separate so the next chunk's upload overlaps the previous chunk's tail
+compute) and the fused tail — and all host fetches are deferred to the end of
+`push()`, so a bulk push pipelines every chunk's device work back-to-back.
 
 Not supported: a quantized generator (its dynamic int8 activation scales are
 window-dependent, which would break the windowing exactness contract).
@@ -116,6 +124,7 @@ class OnlineVideoToSpeech:
         self._mel_fn = jax.jit(self._mel_step)
         self._gen_prefix_fn = jax.jit(functools.partial(self._gen, prefix=True))
         self._gen_steady_fn = jax.jit(functools.partial(self._gen, prefix=False))
+        self._tail_fn = jax.jit(self._tail_step)
         self.reset()
 
     @classmethod
@@ -233,14 +242,74 @@ class OnlineVideoToSpeech:
             return audio[:, :, : (self.l + 1) * s]
         return audio[:, :, self.l * s : (self.l + 1) * s]
 
+    def _tail_step(self, variables, generator_params, feat_chunks, mask, h, c,
+                   mel_context):
+        """FUSED steady-state tail: mel emission + generator window, one
+        program. `mel_context` is the K-1 most recent emitted mel chunks; the
+        K-th (newest) is computed here from the feature window, so the whole
+        LSTM -> head -> scaler -> dB-bridge -> generator tail is ONE dispatch
+        (the offline pipeline's single-program property, ported to steady
+        streaming). Identical math to `_mel_step` + `_gen(prefix=False)`.
+        """
+        mel_db, mel_log, h2, c2 = self._mel_step(variables, feat_chunks, mask, h, c)
+        mel = jnp.concatenate(tuple(mel_context) + (mel_log,), axis=1)  # (1, K*W, M)
+        x = jnp.swapaxes(mel, 1, 2)
+        audio = self.generator.apply({"params": generator_params}, x)
+        s = self.W * self.hop
+        return mel_db, mel_log, h2, c2, audio[:, :, self.l * s : (self.l + 1) * s]
+
     # -- streaming engine --------------------------------------------------
-    def _process_chunk(self, frames_np: np.ndarray, mask_np: np.ndarray, out):
+    def _process_chunk(self, frames_np, mask_np: np.ndarray, out):
         """One W-frame chunk through CNN -> (maybe) mel emission -> (maybe)
-        audio emission(s); valid outputs appended to `out`."""
-        feats = self._cnn_fn(
-            self.acoustic_variables, jnp.asarray(frames_np[None, :, None])
-        )
+        audio emission(s); outputs appended to `out` as DEVICE arrays (host
+        fetches are deferred to `_collect`, so multi-chunk pushes pipeline).
+
+        frames_np: (W, H, W') host array, or an already-uploaded device array
+        of shape (1, W, 1, H, W') (`push` pre-uploads so chunk i+1's transfer
+        overlaps chunk i's tail compute)."""
+        if isinstance(frames_np, np.ndarray):
+            frames_np = jnp.asarray(frames_np[None, :, None])
+        feats = self._cnn_fn(self.acoustic_variables, frames_np)
         self._feat_chunks.append((feats, mask_np))
+
+        # fused steady-state fast path: this chunk completes the feature
+        # window (one mel emission) AND exactly one steady audio chunk
+        # becomes due — the common case after the lookahead fills
+        j = self._n_audio_chunks
+        lo = j - self.l - self._mel_base
+        if (
+            len(self._feat_chunks) == self.r + 1
+            and j >= 1
+            and self._n_mel_chunks + 1 == j + self.g + 1
+            and lo >= 0
+            and len(self._mel_chunks) - lo == self.K - 1
+        ):
+            window = tuple(f for f, _ in self._feat_chunks)
+            masks = np.concatenate([m for _, m in self._feat_chunks])
+            mel_db, mel_log, self._h, self._c, audio = self._tail_fn(
+                self.acoustic_variables, self.generator_params, window,
+                jnp.asarray(masks[None]), self._h, self._c,
+                tuple(self._mel_chunks[lo:]),
+            )
+            emitted_mask = self._feat_chunks.pop(0)[1]
+            self._mel_chunks.append(mel_log)
+            self._n_mel_chunks += 1
+            n_valid = int(emitted_mask.sum())
+            if n_valid:
+                out["mel"].append((mel_db, n_valid))
+                self._mel_frames_out += n_valid
+            self._n_audio_chunks = j + 1
+            span_lo = j * self.W * self.hop
+            end = min((j + 1) * self.W, self._t_real) * self.hop
+            if end > self._audio_samples_out:
+                out["audio"].append(
+                    (audio, self._audio_samples_out - span_lo, end - span_lo)
+                )
+                self._audio_samples_out = end
+            while self._mel_base < self._n_audio_chunks - self.l:
+                self._mel_chunks.pop(0)
+                self._mel_base += 1
+            return
 
         if len(self._feat_chunks) >= self.r + 1:
             window = tuple(f for f, _ in self._feat_chunks)
@@ -257,7 +326,7 @@ class OnlineVideoToSpeech:
             # of the stream, so valid rows are wherever mask==1)
             n_valid = int(emitted_mask.sum())
             if n_valid:
-                out["mel"].append(np.asarray(mel_db)[0, :n_valid])
+                out["mel"].append((mel_db, n_valid))
                 self._mel_frames_out += n_valid
 
         self._emit_audio(out)
@@ -292,9 +361,8 @@ class OnlineVideoToSpeech:
             ) * self.W * self.hop
             end = min(emitted_through * self.W, self._t_real) * self.hop
             if end > self._audio_samples_out:
-                a = np.asarray(audio)[0, 0]
                 out["audio"].append(
-                    a[self._audio_samples_out - span_lo : end - span_lo]
+                    (audio, self._audio_samples_out - span_lo, end - span_lo)
                 )
                 self._audio_samples_out = end
 
@@ -326,10 +394,18 @@ class OnlineVideoToSpeech:
         buf = np.concatenate(self._pending + [frames], axis=0)
         self._pending, self._pending_count = [], 0
         ones = np.ones(self.W, np.float32)
-        pos = 0
-        while buf.shape[0] - pos >= self.W:
-            self._process_chunk(buf[pos : pos + self.W], ones, out)
-            pos += self.W
+        # pre-upload EVERY chunk before processing: device_put is async, so
+        # chunk i+1's host->device transfer rides the link while chunk i's
+        # CNN + fused tail execute (on the tunnel the upload is a large
+        # fraction of the per-chunk budget)
+        n_chunks = buf.shape[0] // self.W
+        devs = [
+            jax.device_put(buf[i * self.W : (i + 1) * self.W][None, :, None])
+            for i in range(n_chunks)
+        ]
+        for d in devs:
+            self._process_chunk(d, ones, out)
+        pos = n_chunks * self.W
         if pos < buf.shape[0]:
             self._pending = [buf[pos:]]
             self._pending_count = buf.shape[0] - pos
@@ -365,13 +441,17 @@ class OnlineVideoToSpeech:
         return self._collect(out)
 
     def _collect(self, out):
+        """Fetch the push's accumulated DEVICE outputs in one pass at the end:
+        entries are (audio (1,1,S), s0, s1) / (mel_db (1,W,M), n_valid) —
+        deferring the device->host sync here lets a multi-chunk push dispatch
+        every chunk before the first fetch blocks."""
         audio = (
-            np.concatenate(out["audio"])
+            np.concatenate([np.asarray(a)[0, 0][s0:s1] for a, s0, s1 in out["audio"]])
             if out["audio"]
             else np.zeros((0,), np.float32)
         )
         mel = (
-            np.concatenate(out["mel"], axis=0)
+            np.concatenate([np.asarray(m)[0, :n] for m, n in out["mel"]], axis=0)
             if out["mel"]
             else np.zeros((0, int(self.mean.shape[0])), np.float32)
         )
