@@ -604,12 +604,16 @@ class MultiScaleDiscriminator(nn.Module):
 
     dtype: Optional[jnp.dtype] = None
     batch_concat: bool = False
+    # scale count (reference fixes 3; lower values keep the structure —
+    # spectral-norm first sub-D, pooling between scales — with a smaller
+    # graph, used by ablations and the multichip dryrun's tiny wiring leg)
+    num_scales: int = 3
 
     @nn.compact
     def __call__(self, y: Array, y_hat: Array):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         B = y.shape[0]
-        for i in range(3):
+        for i in range(self.num_scales):
             if i != 0:
                 # AvgPool1d(4, 2, padding=2) on (B, 1, T)
                 y = jnp.swapaxes(

@@ -59,6 +59,17 @@ class GanState(struct.PyTreeNode):
     opt_d: Any
 
 
+def _quantize_grad_bf16(g: jnp.ndarray) -> jnp.ndarray:
+    """Round-trip a gradient through bf16 (kept fp32 at the API boundary).
+
+    The down-cast is the HBM lever (the materialised grad tensor is half as
+    wide); the immediate up-cast keeps the optimizer contract — fp32 master
+    params, fp32 AdaBelief moments, fp32 update math — and a stable opt-state
+    dtype across steps (a bare down-cast would flip the moment trees to bf16
+    on the first update and retrace every step after)."""
+    return g.astype(jnp.bfloat16).astype(jnp.float32)
+
+
 def _adabelief(lr: float, state_dtype=None) -> optax.GradientTransformation:
     """Reference AdaBelief hyperparameters (`train.py:64-71`).
 
@@ -79,6 +90,14 @@ class VocoderTrainerConfig:
     fine_tuning: bool = False
     seed: int = 1234
     bf16: bool = False  # bfloat16 compute for G/D forwards (fp32 params/losses)
+    # quantize D/G gradients through bf16 (cast down, then straight back up)
+    # before the optimizer update: the grad trees are among the largest
+    # materialised tensors of the step, so storing them at half width is a
+    # candidate HBM lever — while params, AdaBelief moments and all update
+    # math stay genuinely fp32 (a plain down-cast would silently turn the
+    # moment accumulators bf16 on the first step). See docs/BENCH_NOTES.md
+    # for whether it pays on this chip.
+    bf16_grads: bool = False
     # bf16 AdaBelief moment storage (fp32 master params; halves optimizer-state
     # HBM traffic on a step measured at 95.8% HBM — docs/BENCH_NOTES.md)
     bf16_opt_state: bool = False
@@ -93,6 +112,14 @@ class VocoderTrainerConfig:
     concat_discriminators: bool = False
     # None = auto: sharded orbax checkpoints when the mesh spans >1 process
     use_orbax: Optional[bool] = None
+    # discriminator ensemble size (reference: 5 MPD periods, 3 MSD scales,
+    # `models.py:179-207,238-271`). Smaller values keep every structural
+    # element (multi-period fold, spectral-norm scale 0, pooled scales,
+    # feature losses) with a fraction of the graph — used by ablations and
+    # the multichip dryrun's tiny wiring leg, where cold-compiling the full
+    # 8-sub-D ensemble on a 1-core host dominated the driver budget.
+    mpd_periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    msd_scales: int = 3
 
 
 class VocoderTrainer:
@@ -114,8 +141,12 @@ class VocoderTrainer:
         dtype = jnp.bfloat16 if config.bf16 else None
         self.generator = Generator(h=self.h, dtype=dtype)
         cat = config.concat_discriminators
-        self.mpd = MultiPeriodDiscriminator(dtype=dtype, batch_concat=cat)
-        self.msd = MultiScaleDiscriminator(dtype=dtype, batch_concat=cat)
+        self.mpd = MultiPeriodDiscriminator(
+            periods=tuple(config.mpd_periods), dtype=dtype, batch_concat=cat
+        )
+        self.msd = MultiScaleDiscriminator(
+            num_scales=config.msd_scales, dtype=dtype, batch_concat=cat
+        )
         self.use_orbax = (
             config.use_orbax
             if config.use_orbax is not None
@@ -213,6 +244,8 @@ class VocoderTrainer:
         (loss_disc_all, new_msd_stats), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True
         )((state.mpd_params, state.msd_params))
+        if self.cfg.bf16_grads:
+            d_grads = jax.tree_util.tree_map(_quantize_grad_bf16, d_grads)
         state.opt_d.hyperparams["learning_rate"] = lr_d
         d_updates, new_opt_d = self.tx_d.update(
             d_grads, state.opt_d, (state.mpd_params, state.msd_params)
@@ -241,6 +274,8 @@ class VocoderTrainer:
             g_loss_from_output, has_aux=True
         )(y_g_hat)
         (g_grads,) = gen_vjp(dyh)
+        if self.cfg.bf16_grads:
+            g_grads = jax.tree_util.tree_map(_quantize_grad_bf16, g_grads)
         state.opt_g.hyperparams["learning_rate"] = lr_g
         g_updates, new_opt_g = self.tx_g.update(g_grads, state.opt_g, state.gen_params)
         new_gen = optax.apply_updates(state.gen_params, g_updates)

@@ -93,6 +93,52 @@ def test_gan_train_step_bf16():
     assert leaf.dtype == jnp.float32
 
 
+def test_gan_train_step_bf16_grads():
+    """bf16-quantized gradients with fp32 master params/moments (the measured
+    HBM lever, docs/BENCH_NOTES.md): step stays finite, params and the WHOLE
+    optimizer state remain fp32 (a bare down-cast would flip the moments to
+    bf16 on the first update), and the update actually moves the params."""
+    t = VocoderTrainer(
+        default_vocoder_config(upsample_initial_channel=32, segment_size=8400),
+        VocoderTrainerConfig(bf16=True, bf16_grads=True),
+    )
+    state = t.init_state(jax.random.PRNGKey(0))
+    before = np.asarray(jax.tree_util.tree_leaves(state.gen_params)[0])
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal((2, 8400)).astype(np.float32) * 0.1).clip(-1, 1)
+    state, metrics = t.train_step(state, {"audio": audio, "mel": None})
+    assert np.isfinite(float(metrics["loss_gen_all"]))
+    assert np.isfinite(float(metrics["loss_disc_all"]))
+    for leaf in jax.tree_util.tree_leaves(state.gen_params):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(state.opt_g):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32
+    after = np.asarray(jax.tree_util.tree_leaves(state.gen_params)[0])
+    assert not np.array_equal(before, after)
+
+
+def test_lean_discriminator_config():
+    """mpd_periods/msd_scales knobs (ablations + the multichip dryrun's tiny
+    wiring leg) shrink the ensemble while keeping the structure: sub-D counts
+    follow the config and the D+G step still runs finite."""
+    t = VocoderTrainer(
+        default_vocoder_config(upsample_initial_channel=32, segment_size=8400),
+        VocoderTrainerConfig(mpd_periods=(2, 3), msd_scales=2),
+    )
+    assert t.mpd.periods == (2, 3)
+    assert t.msd.num_scales == 2
+    state = t.init_state(jax.random.PRNGKey(0))
+    # exactly 2 MSD sub-discriminators and 2 MPD sub-discriminators in params
+    assert set(state.msd_params.keys()) == {"discriminators_0", "discriminators_1"}
+    assert len(state.mpd_params.keys()) == 2
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal((2, 8400)).astype(np.float32) * 0.1).clip(-1, 1)
+    state, metrics = t.train_step(state, {"audio": audio, "mel": None})
+    assert np.isfinite(float(metrics["loss_gen_all"]))
+    assert np.isfinite(float(metrics["loss_disc_all"]))
+
+
 def test_adabelief_matches_optax():
     """train/optim.py fp32 path is BIT-IDENTICAL to optax.adabelief over
     multiple steps; the bf16-state path tracks it to bf16 quantisation error."""

@@ -141,10 +141,19 @@ def bench_acoustic(use_bf16: bool, repeats: int = 5) -> dict:
     return out
 
 
-def bench_vocoder(repeats: int = 3, bf16: bool = False, bf16_opt: bool = False) -> dict:
+def bench_vocoder(
+    repeats: int = 3,
+    bf16: bool = False,
+    bf16_opt: bool = False,
+    bf16_grads: bool = False,
+) -> dict:
     h = default_vocoder_config()
     trainer = VocoderTrainer(
-        h, VocoderTrainerConfig(fine_tuning=False, bf16=bf16, bf16_opt_state=bf16_opt)
+        h,
+        VocoderTrainerConfig(
+            fine_tuning=False, bf16=bf16, bf16_opt_state=bf16_opt,
+            bf16_grads=bf16_grads,
+        ),
     )
     state = trainer.init_state(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
@@ -202,6 +211,7 @@ def bench_vocoder(repeats: int = 3, bf16: bool = False, bf16_opt: bool = False) 
         "batch": B,
         "dtype": "bf16" if bf16 else "f32",
         "opt_state_dtype": "bf16" if bf16_opt else "f32",
+        "grad_dtype": "bf16" if bf16_grads else "f32",
         "methodology": "fused_k_loop" if compiled is not None else "host_pipelined",
         "audio_seconds_per_sec_train": B * h["segment_size"] / h["sampling_rate"] / step_s,
     }
@@ -300,7 +310,16 @@ def main() -> None:
     v["backend"] = backend
     print(json.dumps(v))
     if backend == "tpu":
-        for kw in ({"bf16": True}, {"bf16_opt": True}, {"bf16": True, "bf16_opt": True}):
+        for kw in (
+            {"bf16": True},
+            {"bf16_opt": True},
+            {"bf16": True, "bf16_opt": True},
+            # the round-3 proposed grad/loss dtype lever, measured at last:
+            # bf16 grads + fp32 master params/moments, with and without
+            # bf16 forwards
+            {"bf16_grads": True},
+            {"bf16": True, "bf16_grads": True},
+        ):
             vb = bench_vocoder(**kw)
             vb["backend"] = backend
             print(json.dumps(vb))
