@@ -87,11 +87,14 @@ class OnlineVideoToSpeech:
         chunk: int = 16,
         lookahead: int = 16,
         input_norm: str = "none",
+        max_inflight_chunks: int = 64,
     ) -> None:
         if chunk < 1:
             raise ValueError("chunk must be >= 1")
         if lookahead < 0:
             raise ValueError("lookahead must be >= 0")
+        if max_inflight_chunks < 1:
+            raise ValueError("max_inflight_chunks must be >= 1")
         if input_norm not in ("none", "zscore_minmax"):
             raise ValueError(
                 f"input_norm must be 'none' or 'zscore_minmax', got {input_norm!r}"
@@ -109,6 +112,10 @@ class OnlineVideoToSpeech:
         self.std = jnp.asarray(scaler.std)
         self.input_norm = input_norm
 
+        # bounds device-memory high-water on bulk pushes: push() pre-uploads
+        # chunks and defers host fetches, so without a cap a whole-video push
+        # would hold every frame chunk + every output on device at once
+        self.max_inflight_chunks = int(max_inflight_chunks)
         self.W = int(chunk)
         self.r = _ceil_div(int(lookahead), self.W)  # backward-LSTM lookahead chunks
         left, right = generator_receptive_field(generator.h)
@@ -149,7 +156,7 @@ class OnlineVideoToSpeech:
 
         All mutable stream state lives in instance fields that `reset()`
         initialises and the jitted programs receive as arguments, so forks
-        are independent streams while the four compiled programs (and their
+        are independent streams while the five compiled programs (and their
         jit caches — bound to this instance) are shared: a serving daemon
         can run many concurrent sessions with zero per-session recompiles.
         """
@@ -394,17 +401,29 @@ class OnlineVideoToSpeech:
         buf = np.concatenate(self._pending + [frames], axis=0)
         self._pending, self._pending_count = [], 0
         ones = np.ones(self.W, np.float32)
-        # pre-upload EVERY chunk before processing: device_put is async, so
-        # chunk i+1's host->device transfer rides the link while chunk i's
-        # CNN + fused tail execute (on the tunnel the upload is a large
-        # fraction of the per-chunk budget)
+        # pre-upload chunks before processing: device_put is async, so chunk
+        # i+1's host->device transfer rides the link while chunk i's CNN +
+        # fused tail execute (on the tunnel the upload is a large fraction of
+        # the per-chunk budget). Grouped in windows of max_inflight_chunks so
+        # a whole-video push can't hold every frame chunk + every deferred
+        # output on device simultaneously (pipelining only overlaps adjacent
+        # chunks, so a bounded window keeps the full overlap win).
         n_chunks = buf.shape[0] // self.W
-        devs = [
-            jax.device_put(buf[i * self.W : (i + 1) * self.W][None, :, None])
-            for i in range(n_chunks)
-        ]
-        for d in devs:
-            self._process_chunk(d, ones, out)
+        G = self.max_inflight_chunks
+        for g0 in range(0, n_chunks, G):
+            devs = [
+                jax.device_put(buf[i * self.W : (i + 1) * self.W][None, :, None])
+                for i in range(g0, min(g0 + G, n_chunks))
+            ]
+            for d in devs:
+                self._process_chunk(d, ones, out)
+            if g0 + G < n_chunks:
+                # group boundary: materialise outputs to host, releasing the
+                # group's device buffers before the next group uploads
+                out["audio"] = [
+                    (np.asarray(a), s0, s1) for a, s0, s1 in out["audio"]
+                ]
+                out["mel"] = [(np.asarray(m), n) for m, n in out["mel"]]
         pos = n_chunks * self.W
         if pos < buf.shape[0]:
             self._pending = [buf[pos:]]

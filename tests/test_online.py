@@ -132,6 +132,34 @@ def test_online_incremental_equals_bulk(tiny_setup):
     assert any(p.size for p in pieces_a[:-1])
 
 
+def test_online_bounded_inflight_equals_unbounded(tiny_setup):
+    """max_inflight_chunks (device-memory bound on bulk pushes) is purely a
+    scheduling knob: a whole-video push with a tiny in-flight window is
+    bit-identical to the unbounded default."""
+    acoustic, variables, gen, gen_params, scaler, h = tiny_setup
+    rng = np.random.default_rng(7)
+    frames = rng.random((80, 32, 32)).astype(np.float32)
+
+    kw = dict(chunk=8, lookahead=8)
+    ref = OnlineVideoToSpeech(acoustic, variables, gen, gen_params, scaler, **kw)
+    a1, m1 = ref.push(frames)
+    a2, m2 = ref.flush()
+
+    # window of 2 chunks: the 80-frame push (10 chunks) crosses 4 group
+    # boundaries, exercising the materialise-and-release path
+    bounded = OnlineVideoToSpeech(
+        acoustic, variables, gen, gen_params, scaler,
+        max_inflight_chunks=2, **kw,
+    )
+    b1, n1 = bounded.push(frames)
+    b2, n2 = bounded.flush()
+
+    np.testing.assert_array_equal(np.concatenate([b1, b2]), np.concatenate([a1, a2]))
+    np.testing.assert_array_equal(
+        np.concatenate([n1, n2], axis=0), np.concatenate([m1, m2], axis=0)
+    )
+
+
 def test_online_finite_lookahead_tail_exact(tiny_setup):
     """With a finite lookahead the backward-LSTM is approximate mid-stream
     but EXACT for the final chunks (drain masks = the offline boundary), and

@@ -56,9 +56,24 @@ def main() -> None:
     warm_s = time.perf_counter() - t0
     online.reset()
 
+    # count device dispatches per steady chunk: wrap the five compiled
+    # programs with counters (the fused-tail design claims 2/chunk — CNN +
+    # fused mel+generator tail; this records what actually runs)
+    counts = {}
+
+    def _counting(name, fn):
+        def wrapped(*a, **k):
+            counts[name] = counts.get(name, 0) + 1
+            return fn(*a, **k)
+        return wrapped
+
+    for name in ("_cnn_fn", "_mel_fn", "_gen_prefix_fn", "_gen_steady_fn", "_tail_fn"):
+        setattr(online, name, _counting(name, getattr(online, name)))
+
     per_chunk = []
     total_audio = 0
     startup_s = None
+    steady_start_counts = None
     t_start = time.perf_counter()
     for i in range(0, args.frames, W):
         t0 = time.perf_counter()
@@ -68,6 +83,8 @@ def main() -> None:
         if audio.size and startup_s is None:
             startup_s = time.perf_counter() - t_start
         if audio.size:  # steady-state chunks only (startup pushes are cheap)
+            if steady_start_counts is None:
+                steady_start_counts = dict(counts)
             per_chunk.append(dt)
     t0 = time.perf_counter()
     audio, _ = online.flush()
@@ -94,6 +111,18 @@ def main() -> None:
         "n_steady_chunks": len(per_chunk),
         "backend": jax.default_backend(),
     }
+    if steady_start_counts is not None and len(per_chunk) > 1:
+        # dispatches issued across the steady chunks AFTER the first emission
+        n = len(per_chunk) - 1
+        steady_disp = {
+            k: (counts.get(k, 0) - steady_start_counts.get(k, 0)) / n
+            for k in counts
+            if counts.get(k, 0) != steady_start_counts.get(k, 0)
+        }
+        result["dispatches_per_steady_chunk"] = steady_disp
+        result["dispatches_per_steady_chunk_total"] = round(
+            sum(steady_disp.values()), 3
+        )
     print(json.dumps(result))
 
 
