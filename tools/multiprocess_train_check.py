@@ -184,9 +184,14 @@ def main() -> None:
     p2.mkdir()
     procs = _launch(p2, f"localhost:{_free_port()}", base + ["--training_epochs", "300"])
     deadline = time.time() + 900
+    # SIGTERM trigger is step 1, not a later step (r4 advisor): on a cold
+    # compile cache the 1-core host may not reach step 4 inside the deadline,
+    # and a fall-through SIGTERM before ANY completed step makes the
+    # '[PREEMPT]' assertion timing-sensitive. One completed step guarantees
+    # the jitted program and the preempt handler are both live.
     while time.time() < deadline:
         try:
-            if all("Steps : 4" in (p2 / f"proc{i}.log").read_text() for i in range(N_PROC)):
+            if all("Steps : 1" in (p2 / f"proc{i}.log").read_text() for i in range(N_PROC)):
                 break
         except OSError:
             pass
