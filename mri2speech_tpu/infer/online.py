@@ -63,6 +63,21 @@ def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _prefetch_to_host(arrays) -> None:
+    """Start device->host transfers for every jax array BEFORE anything
+    blocks on one. np.asarray on a jax array is a synchronous round trip
+    (~26 ms each through the axon tunnel); issuing copy_to_host_async first
+    lets all transfers ride the link concurrently. Host-side entries (numpy,
+    e.g. already materialised at a push group boundary) are skipped."""
+    for a in arrays:
+        copy = getattr(a, "copy_to_host_async", None)
+        if copy is not None:
+            try:
+                copy()
+            except Exception:
+                return  # backend without async copies: blocking fetches still work
+
+
 class OnlineVideoToSpeech:
     """Incremental rtMRI-video -> speech with bounded latency.
 
@@ -420,6 +435,9 @@ class OnlineVideoToSpeech:
             if g0 + G < n_chunks:
                 # group boundary: materialise outputs to host, releasing the
                 # group's device buffers before the next group uploads
+                _prefetch_to_host(
+                    [a for a, _, _ in out["audio"]] + [m for m, _ in out["mel"]]
+                )
                 out["audio"] = [
                     (np.asarray(a), s0, s1) for a, s0, s1 in out["audio"]
                 ]
@@ -463,7 +481,14 @@ class OnlineVideoToSpeech:
         """Fetch the push's accumulated DEVICE outputs in one pass at the end:
         entries are (audio (1,1,S), s0, s1) / (mel_db (1,W,M), n_valid) —
         deferring the device->host sync here lets a multi-chunk push dispatch
-        every chunk before the first fetch blocks."""
+        every chunk before the first fetch blocks. All transfers are started
+        with copy_to_host_async before any np.asarray blocks: through the
+        axon tunnel each BLOCKING fetch pays a full ~26 ms round trip
+        serially, while prefetched transfers ride the link concurrently
+        (measured 16 fetches: ~410 ms serial -> ~60-100 ms prefetched)."""
+        _prefetch_to_host(
+            [a for a, _, _ in out["audio"]] + [m for m, _ in out["mel"]]
+        )
         audio = (
             np.concatenate([np.asarray(a)[0, 0][s0:s1] for a, s0, s1 in out["audio"]])
             if out["audio"]

@@ -32,6 +32,7 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=512)
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--lookahead", type=int, default=16)
+    ap.add_argument("--bulk_window", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -123,6 +124,27 @@ def main() -> None:
         result["dispatches_per_steady_chunk_total"] = round(
             sum(steady_disp.values()), 3
         )
+
+    # bulk-push throughput: one whole-video push through the grouped
+    # pre-upload window (chunk i+1 uploads while chunk i computes; group
+    # boundaries prefetch+release device buffers). This is the
+    # faster-than-real-time ingest number — per-chunk latency above is the
+    # live-stream number.
+    bulk = OnlineVideoToSpeech.from_pipeline(
+        pipe, chunk=args.chunk, lookahead=args.lookahead,
+        max_inflight_chunks=args.bulk_window,
+    )
+    bulk.push(frames[: 6 * W])
+    bulk.flush()  # warm this instance's programs (jit caches are per-instance)
+    bulk.reset()
+    t0 = time.perf_counter()
+    a1, _ = bulk.push(frames)
+    a2, _ = bulk.flush()
+    dt = time.perf_counter() - t0
+    result["bulk_push_seconds_total"] = dt
+    result["bulk_push_chunk_ms"] = round(dt / (args.frames // W) * 1000, 2)
+    result["bulk_push_rtf"] = dt / ((a1.size + a2.size) / SR)
+    result["bulk_window_chunks"] = args.bulk_window
     print(json.dumps(result))
 
 
