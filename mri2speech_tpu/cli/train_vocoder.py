@@ -88,6 +88,7 @@ def _run_training(a: argparse.Namespace, h: AttrDict, guard) -> None:
             fine_tuning=a.fine_tuning,
             bf16=getattr(a, "bf16", False),
             bf16_opt_state=getattr(a, "bf16_opt_state", False),
+            bf16_grads=getattr(a, "bf16_grads", False),
         ),
         mesh=mesh,
     )
@@ -135,6 +136,8 @@ def _run_training(a: argparse.Namespace, h: AttrDict, guard) -> None:
     n = len(trainset)
     batches_per_epoch = max(1, n // h.batch_size)
     last_val_err = 0.0
+    n_vals = 0           # validation passes completed
+    n_vals_stepped = 0   # value of n_vals at the last scheduler step
 
     for epoch in range(max(0, last_epoch), a.training_epochs):
         start = time.time()
@@ -193,6 +196,7 @@ def _run_training(a: argparse.Namespace, h: AttrDict, guard) -> None:
                         )
                 if count:
                     last_val_err = val_err_tot / count
+                    n_vals += 1
                     sw.add_scalar("validation/mel_spec_error", last_val_err, steps)
                     # stdout too (the reference logs this to TB only,
                     # train.py:215-216): headless runs and the training
@@ -212,8 +216,18 @@ def _run_training(a: argparse.Namespace, h: AttrDict, guard) -> None:
                 return
             steps += 1
 
-        trainer.sched_g.step(last_val_err)
-        trainer.sched_d.step(last_val_err)
+        # Reference semantics (`train.py:258-259`): step the plateau
+        # scheduler EVERY epoch on the last validation error. On corpora
+        # where an epoch is only a few steps and validation refreshes less
+        # often, patience then counts repeats of a stale measurement and the
+        # LR collapses to ~0 within ~p*patience epochs (reproduced on the
+        # round-5 training campaign: generator froze from step ~125, every
+        # later checkpoint byte-identical). --plateau_on_fresh_val opts into
+        # stepping only when a NEW validation measurement has arrived.
+        if not getattr(a, "plateau_on_fresh_val", False) or n_vals > n_vals_stepped:
+            trainer.sched_g.step(last_val_err)
+            trainer.sched_d.step(last_val_err)
+            n_vals_stepped = n_vals
         print("Time taken for epoch {} is {} sec\n".format(epoch + 1, int(time.time() - start)))
 
 
@@ -246,6 +260,19 @@ def main() -> None:
         help="bfloat16 G/D forwards (fp32 params/losses/grads). Measured "
              "~7%% faster than fp32 on v5e — the GAN step is bound by the "
              "discriminator conv shapes, not MXU rate (docs/BENCH_NOTES.md).",
+    )
+    parser.add_argument(
+        "--plateau_on_fresh_val", action="store_true",
+        help="Step the plateau LR schedulers only when a new validation "
+             "measurement exists (guards against LR collapse on tiny corpora "
+             "where epochs are shorter than the validation interval; default "
+             "keeps the reference's step-every-epoch semantics).",
+    )
+    parser.add_argument(
+        "--bf16_grads", action="store_true",
+        help="Quantize D/G gradients through bf16 before the optimizer "
+             "(fp32 master params and AdaBelief moments throughout; see "
+             "docs/BENCH_NOTES.md for whether it pays on this chip).",
     )
     parser.add_argument(
         "--bf16_opt_state", action="store_true",

@@ -33,6 +33,7 @@ import glob
 import html
 import json
 import os
+import time
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -140,6 +141,7 @@ def run_sweep(
         "checkpoints": {},
     }
     for cp_path in checkpoints:
+        t_cp = time.time()
         cp_name = os.path.basename(cp_path)
         obj = ckpt_io.load_checkpoint_raw(cp_path)
         if "generator" not in obj:
@@ -172,7 +174,15 @@ def run_sweep(
             per_utt[stem] = entry
 
         mean_err = float(np.mean([e["mel_error"] for e in per_utt.values()]))
-        cp_summary: Dict = {"mean_mel_error": mean_err, "utterances": per_utt}
+        # wall time per checkpoint: the jitted program is compiled ONCE for
+        # the sweep (params are a jit ARGUMENT, swapped per checkpoint), so
+        # the first checkpoint includes every compile and later ones pay
+        # only load+inference — the gap is the params-swap win
+        cp_summary: Dict = {
+            "mean_mel_error": mean_err,
+            "seconds": round(time.time() - t_cp, 2),
+            "utterances": per_utt,
+        }
         gt_errs = [e["gt_mel_l1"] for e in per_utt.values() if "gt_mel_l1" in e]
         if gt_errs:
             cp_summary["mean_gt_mel_l1"] = float(np.mean(gt_errs))

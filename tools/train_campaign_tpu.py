@@ -122,7 +122,7 @@ def _parse_cli_log(text: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="docs/campaign_r4")
+    ap.add_argument("--out", default="docs/campaign_r5")
     ap.add_argument("--work", default=None, help="working dir (default: temp)")
     ap.add_argument("--n_utt", type=int, default=20)
     ap.add_argument("--seconds", type=float, default=3.0)
@@ -254,6 +254,11 @@ def main() -> None:
             extra_mels_dir=str(mels_gt) if fine else None,
             extra_mels_weight=0.8 if fine else 0.0,
             bf16=backend == "tpu",
+            # tiny-corpus guard: epochs here are 1-2 steps, so the
+            # reference's step-every-epoch plateau scheduler would collapse
+            # the LR on stale val errors (measured round 5: generator frozen
+            # from step ~125, checkpoints byte-identical)
+            plateau_on_fresh_val=True,
             bf16_opt_state=False,
             num_devices=1,
             no_preempt_guard=False,
