@@ -57,25 +57,11 @@ from mri2speech_tpu.models.lstm import lstm_direction
 from mri2speech_tpu.models.vocoder import generator_receptive_field
 from mri2speech_tpu.ops.mel import mel_db_to_log_power
 from mri2speech_tpu.ops.scaler import MelScaler
+from mri2speech_tpu.utils.transfer import prefetch_to_host
 
 
 def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
-
-
-def _prefetch_to_host(arrays) -> None:
-    """Start device->host transfers for every jax array BEFORE anything
-    blocks on one. np.asarray on a jax array is a synchronous round trip
-    (~26 ms each through the axon tunnel); issuing copy_to_host_async first
-    lets all transfers ride the link concurrently. Host-side entries (numpy,
-    e.g. already materialised at a push group boundary) are skipped."""
-    for a in arrays:
-        copy = getattr(a, "copy_to_host_async", None)
-        if copy is not None:
-            try:
-                copy()
-            except Exception:
-                return  # backend without async copies: blocking fetches still work
 
 
 class OnlineVideoToSpeech:
@@ -435,7 +421,7 @@ class OnlineVideoToSpeech:
             if g0 + G < n_chunks:
                 # group boundary: materialise outputs to host, releasing the
                 # group's device buffers before the next group uploads
-                _prefetch_to_host(
+                prefetch_to_host(*
                     [a for a, _, _ in out["audio"]] + [m for m, _ in out["mel"]]
                 )
                 out["audio"] = [
@@ -486,7 +472,7 @@ class OnlineVideoToSpeech:
         axon tunnel each BLOCKING fetch pays a full ~26 ms round trip
         serially, while prefetched transfers ride the link concurrently
         (measured 16 fetches: ~410 ms serial -> ~60-100 ms prefetched)."""
-        _prefetch_to_host(
+        prefetch_to_host(*
             [a for a, _, _ in out["audio"]] + [m for m, _ in out["mel"]]
         )
         audio = (

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mri2speech_tpu.utils.transfer import prefetch_to_host
 from mri2speech_tpu.data.audio_io import load_video_frames_for_inference, write_wav_float
 from mri2speech_tpu.models.acoustic import AcousticModel
 from mri2speech_tpu.ops.mel import mel_db_to_log_power
@@ -314,6 +315,9 @@ class VideoToSpeechPipeline:
         """frames (T, H, W) float32 -> (audio (T*420,), mel_db (T,64), mel_log (T,64))."""
         audio, mel_db, mel_log = self._run_device(frames)
         T = frames.shape[0]
+        # start all three device->host transfers before the first blocking
+        # fetch: serial fetches pay ~26 ms tunnel round trip EACH
+        prefetch_to_host(audio, mel_db, mel_log)
         audio = np.asarray(audio)[0, 0, : T * self.hop_total]
         return audio, np.asarray(mel_db)[0, :T], np.asarray(mel_log)[0, :T]
 
@@ -391,6 +395,7 @@ class VideoToSpeechPipeline:
         audio, mel_db, _ = self._fn(
             self.acoustic_variables, self.generator_params, fb, mb,
         )
+        prefetch_to_host(audio, mel_db)
         audio = np.asarray(audio)
         mel_db = np.asarray(mel_db)
         return (
