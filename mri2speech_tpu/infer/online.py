@@ -537,7 +537,7 @@ def main() -> None:
         sr = json.load(f)["sampling_rate"]
     budget = args.chunk * online.hop / sr
 
-    # warm the four compiled programs (enough chunks that the prefix AND the
+    # warm the five compiled programs (enough chunks that the prefix AND the
     # steady generator windows both run), then stream for real
     warm_n = min(len(frames), online.latency_frames + (online.l + 1) * online.W)
     online.push(frames[:warm_n])
